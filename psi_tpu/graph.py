@@ -1,0 +1,299 @@
+"""Sequence-graph substrate as dense arrays.
+
+TPU-native replacement for the reference's GUM ``SeqGraph`` + PSI shims
+(ref: include/psi/graph.hpp, gum usage at include/psi/seed_finder.hpp:1156-1166):
+the graph is held as CSR adjacency + concatenated node labels + per-node
+char-order prefix sums, all NumPy arrays ready to be placed in HBM.
+
+Node identity model
+-------------------
+* ``rank``            : 1-based dense rank, nodes sorted by coordinate id
+                        (test graphs are topologically sorted by id, mirroring
+                        psikt's ``ids_in_topological_order`` requirement,
+                        ref: src/psikt.cpp:252-255).
+* ``id`` (internal)   : equals rank here (dense 1..n).
+* ``coordinate id``   : the original id from the vg/GFA file;
+                        ``id_by_coordinate``/``coordinate_id`` map between them
+                        (ref: gum coordinate maps used in
+                        include/psi/seed_finder.hpp:1650-1676).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+
+class Position:
+    """A graph locus (node id, offset) (ref: include/psi/graph.hpp:33-82)."""
+
+    __slots__ = ("m_id", "m_offset")
+
+    def __init__(self, node_id: int = 0, offset: int = 0):
+        self.m_id = int(node_id)
+        self.m_offset = int(offset)
+
+    def node_id(self) -> int:
+        return self.m_id
+
+    def offset(self) -> int:
+        return self.m_offset
+
+    def __iter__(self):
+        return iter((self.m_id, self.m_offset))
+
+    def __eq__(self, other) -> bool:
+        return tuple(self) == tuple(other)
+
+    def __repr__(self) -> str:
+        return f"Position({self.m_id}, {self.m_offset})"
+
+
+class Graph:
+    """Immutable sequence graph over dense arrays.
+
+    Construction goes through :meth:`from_parts`; loaders live in
+    ``psi_tpu.io`` (GFA, vg protobuf).
+    """
+
+    def __init__(
+        self,
+        coord_ids: np.ndarray,
+        labels: np.ndarray,
+        label_offsets: np.ndarray,
+        out_indptr: np.ndarray,
+        out_indices: np.ndarray,
+        in_indptr: np.ndarray,
+        in_indices: np.ndarray,
+        paths: List[Tuple[str, np.ndarray]],
+    ):
+        self.coord_ids = coord_ids          # rank-1 -> coordinate id
+        self.labels = labels                # concatenated node labels, uint8 ASCII
+        self.label_offsets = label_offsets  # [n+1] char-order prefix sums
+        self.out_indptr = out_indptr        # CSR over ranks (0-based), file order
+        self.out_indices = out_indices      # neighbor internal ids (1-based)
+        self.in_indptr = in_indptr
+        self.in_indices = in_indices
+        self.paths = paths                  # [(name, node internal ids array)]
+        self._coord_to_id: Dict[int, int] = {
+            int(c): r + 1 for r, c in enumerate(coord_ids)
+        }
+
+    # --- identity maps ------------------------------------------------------
+    @property
+    def node_count(self) -> int:
+        return len(self.coord_ids)
+
+    def get_node_count(self) -> int:
+        return self.node_count
+
+    @property
+    def edge_count(self) -> int:
+        return len(self.out_indices)
+
+    def get_edge_count(self) -> int:
+        return self.edge_count
+
+    def rank_to_id(self, rank: int) -> int:
+        """1-based rank -> internal id (identity here, both dense)."""
+        if not 1 <= rank <= self.node_count:
+            raise IndexError(f"rank {rank} out of range")
+        return rank
+
+    def id_to_rank(self, node_id: int) -> int:
+        if not 1 <= node_id <= self.node_count:
+            raise IndexError(f"node id {node_id} out of range")
+        return node_id
+
+    def id_by_coordinate(self, coord_id: int) -> int:
+        return self._coord_to_id[int(coord_id)]
+
+    def coordinate_id(self, node_id: int) -> int:
+        return int(self.coord_ids[node_id - 1])
+
+    def has_node(self, node_id: int) -> bool:
+        return 1 <= node_id <= self.node_count
+
+    # --- labels -------------------------------------------------------------
+    def node_length(self, node_id: int) -> int:
+        r = node_id - 1
+        return int(self.label_offsets[r + 1] - self.label_offsets[r])
+
+    def node_sequence(self, node_id: int) -> str:
+        r = node_id - 1
+        lo, hi = self.label_offsets[r], self.label_offsets[r + 1]
+        return self.labels[lo:hi].tobytes().decode("ascii")
+
+    def node_label_bytes(self, node_id: int) -> np.ndarray:
+        r = node_id - 1
+        return self.labels[self.label_offsets[r]: self.label_offsets[r + 1]]
+
+    def id_to_charorder(self, node_id: int) -> int:
+        """Char-order coordinate: bp offset of the node's first locus
+        (ref: gum::util::id_to_charorder usage, include/psi/seed_finder.hpp:1314-1316)."""
+        return int(self.label_offsets[node_id - 1])
+
+    def total_nof_loci(self) -> int:
+        return int(self.label_offsets[-1])
+
+    def max_node_len(self) -> int:
+        if self.node_count == 0:
+            return 0
+        return int(np.max(np.diff(self.label_offsets)))
+
+    # --- adjacency ----------------------------------------------------------
+    def out_neighbors(self, node_id: int) -> np.ndarray:
+        r = node_id - 1
+        return self.out_indices[self.out_indptr[r]: self.out_indptr[r + 1]]
+
+    def in_neighbors(self, node_id: int) -> np.ndarray:
+        r = node_id - 1
+        return self.in_indices[self.in_indptr[r]: self.in_indptr[r + 1]]
+
+    def outdegree(self, node_id: int) -> int:
+        r = node_id - 1
+        return int(self.out_indptr[r + 1] - self.out_indptr[r])
+
+    def indegree(self, node_id: int) -> int:
+        r = node_id - 1
+        return int(self.in_indptr[r + 1] - self.in_indptr[r])
+
+    def has_edges_out(self, node_id: int) -> bool:
+        return self.outdegree(node_id) > 0
+
+    def has_edges_in(self, node_id: int) -> bool:
+        return self.indegree(node_id) > 0
+
+    # --- paths --------------------------------------------------------------
+    def get_path_count(self) -> int:
+        return len(self.paths)
+
+    def path_name(self, path_rank: int) -> str:
+        return self.paths[path_rank][0]
+
+    def path_nodes(self, path_rank: int) -> np.ndarray:
+        return self.paths[path_rank][1]
+
+    def for_each_path(self):
+        """Yield (path_rank, first node rank) pairs, mirroring gum iteration."""
+        for rank in range(len(self.paths)):
+            yield rank, self.paths[rank]
+
+    # --- components ---------------------------------------------------------
+    def components_ranks(self) -> List[int]:
+        """Smallest node rank of each embedded path's start node, sorted.
+
+        Assumes one reference path per component and disjoint rank ranges per
+        component (ref: include/psi/graph.hpp:301-314).
+        """
+        result = [self.id_to_rank(int(nodes[0])) for _, nodes in self.paths]
+        result.sort()
+        return result
+
+    def component_ranges(self) -> List[Tuple[int, int]]:
+        """Half-open 1-based rank ranges per component, derived from
+        components_ranks with an end sentinel (ref: include/psi/seed_finder.hpp:1204-1226)."""
+        ranks = self.components_ranks()
+        bounds = ranks + [self.node_count + 1]
+        return [(bounds[i], bounds[i + 1]) for i in range(len(ranks))]
+
+    # --- construction -------------------------------------------------------
+    @staticmethod
+    def from_parts(
+        nodes: Dict[int, str],
+        edges: Iterable[Tuple[int, int]],
+        paths: Sequence[Tuple[str, Sequence[int]]] = (),
+    ) -> "Graph":
+        """Build from {coord_id: sequence}, [(from_coord, to_coord)] in file
+        order, and [(name, [coord ids])]."""
+        coord_sorted = sorted(nodes.keys())
+        coord_ids = np.asarray(coord_sorted, dtype=np.int64)
+        coord_to_rank0 = {c: i for i, c in enumerate(coord_sorted)}
+
+        seqs = [nodes[c].encode("ascii").upper() for c in coord_sorted]
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        label_offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=label_offsets[1:])
+        labels = (
+            np.frombuffer(b"".join(seqs), dtype=np.uint8)
+            if seqs
+            else np.zeros(0, dtype=np.uint8)
+        )
+
+        edges = list(edges)
+        n = len(coord_sorted)
+        out_lists: List[List[int]] = [[] for _ in range(n)]
+        in_lists: List[List[int]] = [[] for _ in range(n)]
+        for f, t in edges:
+            fr, tr = coord_to_rank0[f], coord_to_rank0[t]
+            out_lists[fr].append(tr + 1)
+            in_lists[tr].append(fr + 1)
+
+        def to_csr(lists):
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            indptr[1:] = np.cumsum([len(l) for l in lists])
+            indices = np.array(
+                [x for l in lists for x in l], dtype=np.int64
+            )
+            return indptr, indices
+
+        out_indptr, out_indices = to_csr(out_lists)
+        in_indptr, in_indices = to_csr(in_lists)
+
+        gpaths = [
+            (
+                name,
+                np.array([coord_to_rank0[c] + 1 for c in nid_list], dtype=np.int64),
+            )
+            for name, nid_list in paths
+        ]
+        return Graph(
+            coord_ids,
+            labels,
+            label_offsets,
+            out_indptr,
+            out_indices,
+            in_indptr,
+            in_indices,
+            gpaths,
+        )
+
+
+# --- free helpers mirroring psi::util (ref: include/psi/graph.hpp:162-287) --
+
+def random_adjacent(graph: Graph, node_id: int, rng=None) -> int:
+    """Uniformly random out-neighbor; 0 if none (ref: graph.hpp:162-202)."""
+    neigh = graph.out_neighbors(node_id)
+    if len(neigh) == 0:
+        return 0
+    if rng is None:
+        rng = np.random
+    return int(neigh[rng.randint(0, len(neigh))])
+
+
+def least_covered_adjacent(graph: Graph, tail, paths_set) -> int:
+    """Out-neighbor (of tail's last node) minimising coverage of tail+[n].
+
+    Returns 0 when all neighbors are *equally* covered or the tail is empty,
+    matching the reference's tie convention (ref: graph.hpp:250-287).
+    `tail` is a mutable sequence of node ids; `paths_set` a container with
+    `path_coverage` semantics (see psi_tpu.pathutil).
+    """
+    from psi_tpu.pathutil import path_coverage
+
+    if len(tail) == 0:
+        return 0
+    lc_id = 0
+    lc_value = None
+    equally_covered = True
+    for to in graph.out_neighbors(int(tail[-1])):
+        to = int(to)
+        cand = list(tail) + [to]
+        value = path_coverage(cand, paths_set)
+        if equally_covered and lc_value is not None and lc_value != value:
+            equally_covered = False
+        if lc_value is None or value < lc_value:
+            lc_id = to
+            lc_value = value
+    return 0 if equally_covered else lc_id
