@@ -1,0 +1,245 @@
+"""FM-index over a concatenated string set, built for batched device queries.
+
+TPU-native redesign of the reference FM layer (ref: include/psi/fmindex.hpp
+wrapping sdsl::csa_wt, value semantics per fmindex.hpp:79-212): instead of
+a wavelet tree + sampled SA walked by scalar code, the index is dense HBM
+arrays —
+
+  C[σ+1]         cumulative symbol counts
+  occ[nb+1, σ]   occ checkpoints every B positions of the BWT
+  bwt[n]         BWT symbols (uint8 codes)
+  sa[n]          full suffix array (dense; locate = one gather instead of a
+                 divergent LF walk — HBM is cheap on TPU relative to latency)
+  str_starts[m+1] concatenated-text start of each string (sentinel-separated)
+
+Alphabet: $=0 < A=1 < C=2 < G=3 < T=4 < N=5 (sentinel convention mirrors
+SEQUENCE_DEFAULT_SENTINEL_CHAR usage, ref: include/psi/sequence.hpp:35).
+
+Counting/locating patterns that contain no sentinel is independent of the
+tie-order among equal sentinels, so a single '$' code is used.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+SIGMA = 6
+CODE = np.full(256, 5, dtype=np.uint8)  # unknown -> N
+CODE[ord("$")] = 0
+CODE[ord("A")] = 1
+CODE[ord("C")] = 2
+CODE[ord("G")] = 3
+CODE[ord("T")] = 4
+CODE[ord("N")] = 5
+CODE[ord("a")] = 1
+CODE[ord("c")] = 2
+CODE[ord("g")] = 3
+CODE[ord("t")] = 4
+CODE[ord("n")] = 5
+
+DECODE = np.frombuffer(b"$ACGTN", dtype=np.uint8)
+
+BLOCK = 128  # occ checkpoint spacing
+
+
+def encode(text: str | bytes) -> np.ndarray:
+    if isinstance(text, str):
+        text = text.encode("ascii")
+    return CODE[np.frombuffer(text, dtype=np.uint8)]
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy argsort based).
+
+    O(n log^2 n); replaced by a C++ SA-IS for chromosome-scale builds, but
+    fully vectorized and adequate for path-index construction at test and
+    benchmark scale.
+    """
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    rank = codes.astype(np.int64)
+    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while True:
+        # sort by (rank[i], rank[i+k]) using lexsort
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        sa = order
+        # re-rank
+        prev = sa[:-1]
+        curr = sa[1:]
+        diff = (rank[curr] != rank[prev]) | (second[curr] != second[prev])
+        tmp[sa[0]] = 0
+        tmp[curr] = np.cumsum(diff)
+        rank, tmp = tmp.copy(), rank
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa
+
+
+class FMIndex:
+    """Dense-array FM index over a sentinel-separated string set.
+
+    Default alphabet is the DNA map ($ACGTN); texts with other symbols get
+    a generic byte alphabet (codemap built from the observed symbols) —
+    mirroring the reference's genericity over SeqAn text types while the
+    device kernels stay specialised to DNA.
+    """
+
+    def __init__(self, codes, sa, bwt, C, occ, str_starts, lengths,
+                 codemap=None, sigma=SIGMA):
+        self.codes = codes            # concatenated text codes incl sentinels
+        self.sa = sa                  # int64[n]
+        self.bwt = bwt                # uint8[n]
+        self.C = C                    # int64[sigma+1]
+        self.occ = occ                # int64[nblocks+1, sigma]
+        self.str_starts = str_starts  # int64[m+1]
+        self.lengths = lengths        # int64[m] (string lengths, no sentinel)
+        self.codemap = CODE if codemap is None else codemap  # byte -> code
+        self.sigma = sigma
+
+    # --- construction -------------------------------------------------------
+    @staticmethod
+    def build_from_strings(strings: List[str]) -> "FMIndex":
+        raw = [s.encode("ascii") if isinstance(s, str) else bytes(s) for s in strings]
+        observed = set(b"".join(raw))
+        if observed <= set(b"ACGTNacgtn"):
+            codemap, sigma = CODE, SIGMA
+        else:
+            # generic byte alphabet; code 0 reserved for the sentinel
+            symbols = sorted(observed)
+            codemap = np.zeros(256, dtype=np.uint8)
+            for i, sym in enumerate(symbols, start=1):
+                codemap[sym] = i
+            sigma = len(symbols) + 1
+        parts = []
+        starts = [0]
+        lengths = []
+        for s in raw:
+            c = codemap[np.frombuffer(s, dtype=np.uint8)]
+            parts.append(c)
+            parts.append(np.zeros(1, dtype=np.uint8))  # sentinel
+            lengths.append(len(c))
+            starts.append(starts[-1] + len(c) + 1)
+        if parts:
+            codes = np.concatenate(parts)
+        else:
+            codes = np.zeros(0, dtype=np.uint8)
+        return FMIndex.build_from_codes(
+            codes,
+            np.asarray(starts, dtype=np.int64),
+            np.asarray(lengths, dtype=np.int64),
+            codemap=codemap,
+            sigma=sigma,
+        )
+
+    @staticmethod
+    def build_from_codes(codes, str_starts, lengths, codemap=None,
+                         sigma=SIGMA) -> "FMIndex":
+        n = len(codes)
+        sa = suffix_array(codes)
+        if n:
+            bwt = codes[(sa - 1) % n]
+        else:
+            bwt = np.zeros(0, dtype=np.uint8)
+        counts = np.bincount(codes, minlength=sigma).astype(np.int64)
+        C = np.zeros(sigma + 1, dtype=np.int64)
+        np.cumsum(counts, out=C[1:])
+        # occ checkpoints
+        nblocks = (n + BLOCK - 1) // BLOCK
+        occ = np.zeros((nblocks + 1, sigma), dtype=np.int64)
+        if n:
+            onehot = np.zeros((n, sigma), dtype=np.int64)
+            onehot[np.arange(n), bwt] = 1
+            csum = np.cumsum(onehot, axis=0)
+            for b in range(1, nblocks + 1):
+                occ[b] = csum[min(b * BLOCK, n) - 1]
+        return FMIndex(codes, sa, bwt, C, occ, str_starts, lengths,
+                       codemap=codemap, sigma=sigma)
+
+    @property
+    def size(self) -> int:
+        return len(self.codes)
+
+    def num_strings(self) -> int:
+        return len(self.lengths)
+
+    # --- queries (host/NumPy reference; device kernels in ops/fm.py) --------
+    def rank(self, c: int, i: int) -> int:
+        """# of occurrences of symbol c in bwt[0:i]."""
+        b = i // BLOCK
+        base = self.occ[b, c]
+        lo = b * BLOCK
+        if i > lo:
+            base += int(np.count_nonzero(self.bwt[lo:i] == c))
+        return int(base)
+
+    def lf_step(self, c: int, lo: int, hi: int) -> Tuple[int, int]:
+        return (
+            int(self.C[c]) + self.rank(c, lo),
+            int(self.C[c]) + self.rank(c, hi),
+        )
+
+    def backward_search(self, pattern: str) -> Tuple[int, int]:
+        """SA range of the pattern; processes right-to-left."""
+        lo, hi = 0, self.size
+        for ch in reversed(pattern):
+            c = int(self.codemap[ord(ch)])
+            lo, hi = self.lf_step(c, lo, hi)
+            if lo >= hi:
+                return lo, lo
+        return lo, hi
+
+    def count(self, pattern: str) -> int:
+        lo, hi = self.backward_search(pattern)
+        return hi - lo
+
+    def locate(self, lo: int, hi: int) -> np.ndarray:
+        """Text positions for an SA range (dense SA gather)."""
+        return self.sa[lo:hi]
+
+    def text_pos_to_string(self, pos) -> Tuple[np.ndarray, np.ndarray]:
+        """Map concatenated-text positions to (string_id, offset)."""
+        pos = np.asarray(pos, dtype=np.int64)
+        sid = np.searchsorted(self.str_starts, pos, side="right") - 1
+        return sid, pos - self.str_starts[sid]
+
+    def occurrences(self, pattern: str) -> List[Tuple[int, int]]:
+        lo, hi = self.backward_search(pattern)
+        sid, off = self.text_pos_to_string(self.locate(lo, hi))
+        return sorted(zip(sid.tolist(), off.tolist()))
+
+    # --- serialization ------------------------------------------------------
+    def save(self, prefix: str) -> None:
+        np.savez_compressed(
+            prefix + ".fm.npz",
+            codes=self.codes,
+            sa=self.sa,
+            bwt=self.bwt,
+            C=self.C,
+            occ=self.occ,
+            str_starts=self.str_starts,
+            lengths=self.lengths,
+            codemap=self.codemap,
+            sigma=np.int64(self.sigma),
+        )
+
+    @staticmethod
+    def load(prefix: str) -> "FMIndex":
+        import os
+
+        path = prefix + ".fm.npz"
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        z = np.load(path)
+        return FMIndex(
+            z["codes"], z["sa"], z["bwt"], z["C"], z["occ"],
+            z["str_starts"], z["lengths"],
+            codemap=z["codemap"], sigma=int(z["sigma"]),
+        )

@@ -1,0 +1,100 @@
+"""Packed k-mer utilities.
+
+The reads side of both matching engines is a dense array of 2-bit-packed
+k-mers instead of the reference's WOTD/ESA trie (design delta per
+SURVEY.md §7.1.2): a sorted packed array *is* the trie — prefix descent is
+binary search on prefix ranges.
+
+Codes here are 0..3 for A,C,G,T; k-mers containing N (or any non-ACGT
+symbol) are flagged invalid — they can never match (graph 'N' kills
+traverser states, ref: traverser_bfs.hpp:124; and the k-mer enumeration in
+the reference iterates DnaString seeds only, ref: index_iter.hpp:831-851).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+ACGT_CODE = np.full(256, -1, dtype=np.int8)
+for i, ch in enumerate("ACGT"):
+    ACGT_CODE[ord(ch)] = i
+    ACGT_CODE[ord(ch.lower())] = i
+
+MAX_PACK_K = 32
+
+
+def seq_to_codes(seq: str | bytes) -> np.ndarray:
+    """ASCII -> 0..3 codes, -1 for N/unknown."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    return ACGT_CODE[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def pack_kmers(codes_matrix: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack rows of a (N, k) code matrix into uint64 keys.
+
+    Returns (keys, valid): invalid rows (containing a negative code) get
+    key 0 and valid=False. Requires k <= 32.
+    """
+    n, k = codes_matrix.shape
+    if k > MAX_PACK_K:
+        raise ValueError(f"k={k} > {MAX_PACK_K} unsupported by 2-bit packing")
+    valid = (codes_matrix >= 0).all(axis=1)
+    cm = np.where(codes_matrix < 0, 0, codes_matrix).astype(np.uint64)
+    shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
+    keys = (cm << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return keys, valid
+
+
+def unpack_kmer(key: int, k: int) -> str:
+    chars = []
+    for i in range(k):
+        chars.append("ACGT"[(int(key) >> (2 * (k - 1 - i))) & 3])
+    return "".join(chars)
+
+
+def kmer_char(keys: np.ndarray, pos: int, k: int) -> np.ndarray:
+    """Extract the 0..3 code of character `pos` (0-based from the left)."""
+    shift = np.uint64(2 * (k - 1 - pos))
+    return ((keys >> shift) & np.uint64(3)).astype(np.int32)
+
+
+def extract_kmers(seqs, k: int, step: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Seeding: all k-mers with `step` spacing from each sequence
+    (ref seeding() semantics: include/psi/sequence.hpp:1688-1718 — windows
+    start at 0,step,... while start + k <= len).
+
+    Returns (keys uint64[S], valid bool[S], seedmap int64[S, 2]) where
+    seedmap rows are (read_index, read_offset) — the SeedMap equivalent
+    (ref: sequence.hpp:1148-1220).
+    """
+    keys_parts = []
+    valid_parts = []
+    map_parts = []
+    for ridx, seq in enumerate(seqs):
+        codes = seq_to_codes(seq)
+        L = len(codes)
+        if L < k:
+            continue
+        starts = np.arange(0, L - k + 1, step, dtype=np.int64)
+        win = codes[starts[:, None] + np.arange(k)[None, :]]
+        kk, vv = pack_kmers(win)
+        keys_parts.append(kk)
+        valid_parts.append(vv)
+        m = np.empty((len(starts), 2), dtype=np.int64)
+        m[:, 0] = ridx
+        m[:, 1] = starts
+        map_parts.append(m)
+    if not keys_parts:
+        return (
+            np.zeros(0, dtype=np.uint64),
+            np.zeros(0, dtype=bool),
+            np.zeros((0, 2), dtype=np.int64),
+        )
+    return (
+        np.concatenate(keys_parts),
+        np.concatenate(valid_parts),
+        np.concatenate(map_parts),
+    )

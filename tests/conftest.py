@@ -8,7 +8,9 @@ multi-chip path; bench.py uses the real chip).
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel); correctness tests must not round-trip the network per dispatch.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

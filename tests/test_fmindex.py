@@ -1,0 +1,170 @@
+"""FM-index tests (mirrors reference [fmindex]/[index][iterator] suites):
+suffix array vs brute force, count/locate vs Python scan, device batched
+backward search vs host reference."""
+
+import numpy as np
+import pytest
+
+from psi_tpu.fmindex import FMIndex, encode, suffix_array
+from psi_tpu.ops import fm as fm_ops
+from psi_tpu.ops.kmers import extract_kmers, pack_kmers, seq_to_codes, unpack_kmer
+
+
+def brute_suffix_array(codes):
+    n = len(codes)
+    sufs = [tuple(codes[i:]) for i in range(n)]
+    return np.array(sorted(range(n), key=lambda i: sufs[i]), dtype=np.int64)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [1, 2, 13, 100, 257])
+def test_suffix_array_matches_bruteforce(seed, n):
+    rng = np.random.RandomState(seed)
+    codes = rng.randint(0, 6, size=n).astype(np.uint8)
+    np.testing.assert_array_equal(suffix_array(codes), brute_suffix_array(codes))
+
+
+def brute_occurrences(strings, pattern):
+    out = []
+    for sid, s in enumerate(strings):
+        start = 0
+        while True:
+            i = s.find(pattern, start)
+            if i < 0:
+                break
+            out.append((sid, i))
+            start = i + 1
+    return sorted(out)
+
+
+def test_count_locate_stringset():
+    strings = ["ACGTACGTAC", "TTACGA", "GGGG", "ACACAC"]
+    fm = FMIndex.build_from_strings(strings)
+    for pat in ["AC", "ACGT", "G", "GGGG", "TTT", "CA", "A", "ACGTACGTAC"]:
+        expect = brute_occurrences(strings, pat)
+        assert fm.count(pat) == len(expect), pat
+        assert fm.occurrences(pat) == expect, pat
+
+
+def test_count_random_texts():
+    rng = np.random.RandomState(7)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(20, 80)))
+        for _ in range(6)
+    ]
+    fm = FMIndex.build_from_strings(strings)
+    for _ in range(50):
+        plen = rng.randint(1, 12)
+        src = rng.randint(0, len(strings))
+        s = strings[src]
+        if len(s) >= plen:
+            start = rng.randint(0, len(s) - plen + 1)
+            pat = s[start: start + plen]
+        else:
+            continue
+        expect = brute_occurrences(strings, pat)
+        assert fm.count(pat) == len(expect)
+        assert fm.occurrences(pat) == expect
+
+
+def test_sample_long_sequence(data_dir):
+    text = (data_dir / "text" / "sample_long_sequence.txt").read_text().strip()
+    fm = FMIndex.build_from_strings([text])
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        plen = rng.randint(2, 30)
+        start = rng.randint(0, len(text) - plen)
+        pat = text[start: start + plen]
+        expect = brute_occurrences([text], pat)
+        assert fm.count(pat) == len(expect)
+        assert fm.occurrences(pat) == expect
+
+
+def test_save_load_roundtrip(tmp_path):
+    strings = ["ACGTACGT", "TGCA"]
+    fm = FMIndex.build_from_strings(strings)
+    fm.save(str(tmp_path / "idx"))
+    fm2 = FMIndex.load(str(tmp_path / "idx"))
+    assert fm2.count("ACGT") == fm.count("ACGT")
+    assert fm2.occurrences("GC") == fm.occurrences("GC")
+
+
+# --- packed k-mers ----------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(0)
+    k = 11
+    mat = rng.randint(0, 4, size=(20, k))
+    keys, valid = pack_kmers(mat)
+    assert valid.all()
+    for row, key in zip(mat, keys):
+        s = "".join("ACGT"[c] for c in row)
+        assert unpack_kmer(int(key), k) == s
+
+
+def test_pack_invalid_n():
+    mat = np.array([[0, 1, 2], [0, -1, 3]])
+    keys, valid = pack_kmers(mat)
+    assert valid.tolist() == [True, False]
+
+
+def test_extract_kmers_seeding():
+    # non-overlapping seeding semantics: starts at 0, k, 2k ... while fit
+    seqs = ["ACGTACGTAC", "AANGT"]
+    keys, valid, seedmap = extract_kmers(seqs, k=4, step=4)
+    # seq0: starts 0,4 ; seq1 (len 5): start 0 only
+    assert seedmap.tolist() == [[0, 0], [0, 4], [1, 0]]
+    assert valid.tolist() == [True, True, False]
+    assert unpack_kmer(int(keys[0]), 4) == "ACGT"
+    assert unpack_kmer(int(keys[1]), 4) == "ACGT"
+
+
+# --- device batched search --------------------------------------------------
+
+
+def test_device_backward_search_matches_host():
+    rng = np.random.RandomState(11)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(30, 120)))
+        for _ in range(5)
+    ]
+    # index over REVERSED strings, query with forward-order char feed
+    fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+    arrays = fm_ops.to_device(fm)
+
+    k = 8
+    # batch: half substrings (present), half random (mostly absent)
+    kmers = []
+    for _ in range(64):
+        s = strings[rng.randint(len(strings))]
+        start = rng.randint(0, len(s) - k + 1)
+        kmers.append(s[start: start + k])
+    for _ in range(64):
+        kmers.append("".join(rng.choice(list("ACGT"), size=k)))
+
+    mat = np.stack([seq_to_codes(s) for s in kmers])
+    keys, valid = pack_kmers(mat)
+    assert valid.all()
+
+    import jax.numpy as jnp
+
+    lo, hi = fm_ops.backward_search_codes(
+        arrays, jnp.asarray(fm_ops.keys_to_codes(keys, k))
+    )
+    lo, hi = np.asarray(lo), np.asarray(hi)
+
+    for i, km in enumerate(kmers):
+        # forward-order feed over reversed text == occurrences of reversed kmer
+        hlo, hhi = fm.backward_search(km[::-1])
+        assert (lo[i], hi[i]) == (hlo, hhi), km
+
+    # locate parity on non-empty ranges
+    widths = hi - lo
+    maxw = int(widths.max())
+    pos, mask = fm_ops.locate_ranges(arrays, jnp.asarray(lo), jnp.asarray(hi), maxw)
+    pos, mask = np.asarray(pos), np.asarray(mask)
+    for i in range(len(kmers)):
+        got = sorted(pos[i][mask[i]].tolist())
+        expect = sorted(fm.locate(lo[i], hi[i]).tolist())
+        assert got == expect
