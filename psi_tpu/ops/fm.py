@@ -33,10 +33,11 @@ class FMArrays(NamedTuple):
 def to_device(fm: FMIndex) -> FMArrays:
     n = fm.size
     nblocks = (n + BLOCK - 1) // BLOCK
-    bwt_pad = np.full(nblocks * BLOCK, 255, dtype=np.uint8)
+    # one spare block: position n (range end) may index block nblocks
+    bwt_pad = np.full((nblocks + 1) * BLOCK, 255, dtype=np.uint8)
     bwt_pad[:n] = fm.bwt
     return FMArrays(
-        bwt_blocks=jnp.asarray(bwt_pad.reshape(nblocks, BLOCK)),
+        bwt_blocks=jnp.asarray(bwt_pad.reshape(nblocks + 1, BLOCK)),
         occ=jnp.asarray(fm.occ.astype(np.int32)),
         C=jnp.asarray(fm.C.astype(np.int32)),
         sa=jnp.asarray(fm.sa.astype(np.int32)),

@@ -1,0 +1,318 @@
+"""Crossing-seed graph traversal (seeds_off_paths engine).
+
+HOT LOOP #2 of the reference (per-char trie descent x frontier,
+ref: include/psi/traverser_bfs.hpp:72-164) inverted for TPU
+(design delta per SURVEY.md §7.1.2): instead of walking one automaton
+state at a time, a whole *frontier* of states advances in lockstep —
+one graph character per step for every state — while the reads side is a
+range (lo, hi) over the sorted packed seed array narrowed by per-depth
+rank (see psi_tpu.records.SeedsIndex).
+
+Semantics preserved exactly (one state per starting locus, forking per
+out-edge at node ends, 'N' kills, death on failed descent, emission of
+one hit per (state x matching seed) with gocc = match count).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psi_tpu.graph import Graph, Position
+from psi_tpu.records import SeedsIndex
+from psi_tpu.seed import Seed
+
+BLOCK = 128
+
+
+class GraphArrays(NamedTuple):
+    """Device-resident graph: concatenated label codes + CSR adjacency."""
+
+    labels: jax.Array       # int32 [total_loci] codes: 0..3 = ACGT, 4 = N
+    label_offsets: jax.Array  # int32 [n+1]
+    out_indptr: jax.Array   # int32 [n+1]
+    out_indices: jax.Array  # int32 [m] (1-based node ids)
+    max_out: int            # static max outdegree
+
+
+def graph_to_device(graph: Graph) -> GraphArrays:
+    from psi_tpu.ops.kmers import ACGT_CODE
+
+    codes = ACGT_CODE[graph.labels].astype(np.int32)
+    codes[codes < 0] = 4  # N and unknowns kill states
+    outdeg = np.diff(graph.out_indptr)
+    return GraphArrays(
+        labels=jnp.asarray(codes),
+        label_offsets=jnp.asarray(graph.label_offsets.astype(np.int32)),
+        out_indptr=jnp.asarray(graph.out_indptr.astype(np.int32)),
+        out_indices=jnp.asarray(graph.out_indices.astype(np.int32)),
+        max_out=int(outdeg.max()) if len(outdeg) else 0,
+    )
+
+
+class SeedsArrays(NamedTuple):
+    """Device-resident reads-side index (see SeedsIndex)."""
+
+    chars: jax.Array  # uint8 [k, Vpad] per-depth codes of sorted keys
+    occ: jax.Array    # int32 [k, nb+1, 4] rank checkpoints
+    size: int         # V (static)
+
+
+def seeds_to_device(index: SeedsIndex) -> SeedsArrays:
+    V = index.size
+    nb = (V + BLOCK - 1) // BLOCK
+    # one spare block: position V (range end) may index block nb
+    pad = (nb + 1) * BLOCK
+    chars = np.full((index.k, pad), 255, dtype=np.uint8)
+    chars[:, :V] = index.chars
+    return SeedsArrays(
+        chars=jnp.asarray(chars),
+        occ=jnp.asarray(index.occ),
+        size=V,
+    )
+
+
+def _range_refine(seeds: SeedsArrays, depth, lo, hi, c):
+    """Narrow [lo, hi) by char c at `depth` (vectorized over states).
+
+    Uses checkpoint + intra-block count, all int32.
+    """
+    occ_d = seeds.occ[depth]                      # [nb+1, 4]
+    chars_d = seeds.chars[depth]                  # [Vpad]
+
+    def counts_at(i):
+        """#(chars_d[0:i) == c') for all 4 c' -> [N, 4]."""
+        b = i // BLOCK
+        base = occ_d[b]                           # [N, 4]
+        blk = chars_d.reshape(-1, BLOCK)[b]       # [N, BLOCK]
+        within = jnp.arange(BLOCK, dtype=jnp.int32)[None, :] < (i % BLOCK)[:, None]
+        onehot = (blk[:, :, None] == jnp.arange(4, dtype=jnp.uint8)[None, None, :])
+        return base + jnp.sum(onehot & within[:, :, None], axis=1, dtype=jnp.int32)
+
+    c_lo = counts_at(lo)                          # [N, 4]
+    c_hi = counts_at(hi)
+    in_range = c_hi - c_lo                        # [N, 4] counts per char
+    lt = jnp.cumsum(in_range, axis=1) - in_range  # counts of chars < c'
+    pick = jnp.take_along_axis(lt, c[:, None], axis=1)[:, 0]
+    cnt = jnp.take_along_axis(in_range, c[:, None], axis=1)[:, 0]
+    new_lo = lo + pick
+    return new_lo, new_lo + cnt
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def traverse_device(
+    g: GraphArrays,
+    seeds: SeedsArrays,
+    start_nodes: jax.Array,  # int32 [cap], zero-padded beyond n_init
+    start_offs: jax.Array,   # int32 [cap]
+    n_init: jax.Array,       # int32 scalar: number of seeded states
+    k: int,
+    cap: int,
+):
+    """Advance a frontier of states k characters over the graph.
+
+    Gather-based frontier rebuild per step (no scatters): every state
+    expands into `count` children (1 if mid-node, outdegree at a node
+    end, 0 if dead), target slots come from an exclusive prefix sum, and
+    the inverse slot->parent map is a searchsorted — compaction and
+    forking in one pass. All live states then consume exactly one label
+    character, so after k steps every survivor is a full k-length match.
+
+    Returns (locus_idx, lo, hi, n_used, overflow); slots < n_used are
+    the surviving matches.
+    """
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    locus_idx = slot
+    node = start_nodes
+    off = start_offs
+    lo = jnp.zeros(cap, dtype=jnp.int32)
+    hi = jnp.full(cap, seeds.size, dtype=jnp.int32)
+    n_used = n_init.astype(jnp.int32)
+    overflow = jnp.zeros((), dtype=jnp.bool_)
+
+    def step(t, state):
+        locus_idx, node, off, lo, hi, n_used, overflow = state
+        in_use = slot < n_used
+        safe_node = jnp.maximum(node, 1)
+        node_len = g.label_offsets[safe_node] - g.label_offsets[safe_node - 1]
+        at_end = in_use & (off >= node_len)
+        outdeg = g.out_indptr[safe_node] - g.out_indptr[safe_node - 1]
+
+        counts = jnp.where(
+            in_use, jnp.where(at_end, outdeg, 1), 0
+        ).astype(jnp.int32)
+        csum = jnp.cumsum(counts)
+        base = csum - counts                     # exclusive prefix sum
+        new_n = csum[-1]
+        overflow_now = overflow | (new_n > cap)
+
+        # inverse map: for each new slot, its parent state and child rank
+        parent = (
+            jnp.searchsorted(csum, slot, side="right").astype(jnp.int32)
+        )
+        parent_c = jnp.clip(parent, 0, cap - 1)
+        j = slot - base[parent_c]
+        valid = slot < new_n
+
+        p_at_end = at_end[parent_c]
+        p_node = jnp.maximum(node[parent_c], 1)
+        nb = g.out_indices[
+            jnp.clip(
+                g.out_indptr[p_node - 1] + j, 0, g.out_indices.shape[0] - 1
+            )
+        ]
+        new_node = jnp.where(p_at_end, nb, node[parent_c])
+        new_off = jnp.where(p_at_end, 0, off[parent_c])
+        new_locus = locus_idx[parent_c]
+        new_lo0 = lo[parent_c]
+        new_hi0 = hi[parent_c]
+
+        # --- consume one character
+        sn = jnp.maximum(new_node, 1)
+        pos = jnp.clip(
+            g.label_offsets[sn - 1] + new_off, 0, g.labels.shape[0] - 1
+        )
+        c = g.labels[pos]
+        ok = valid & (c < 4)  # 'N' kills
+        c4 = jnp.clip(c, 0, 3)
+        r_lo, r_hi = _range_refine(seeds, t, new_lo0, new_hi0, c4)
+        ok = ok & (r_lo < r_hi)
+
+        # second compaction pass: drop killed states
+        counts2 = ok.astype(jnp.int32)
+        csum2 = jnp.cumsum(counts2)
+        dst = csum2 - 1
+        n2 = csum2[-1]
+        # gather-from: for each slot s < n2, the s-th ok state
+        src = jnp.searchsorted(csum2, slot + 1, side="left").astype(jnp.int32)
+        src = jnp.clip(src, 0, cap - 1)
+
+        locus_idx = new_locus[src]
+        node = new_node[src]
+        off = new_off[src] + 1
+        lo = r_lo[src]
+        hi = r_hi[src]
+        return locus_idx, node, off, lo, hi, n2, overflow_now
+
+    locus_idx, node, off, lo, hi, n_used, overflow = jax.lax.fori_loop(
+        0, k, step, (locus_idx, node, off, lo, hi, n_used, overflow)
+    )
+    return locus_idx, lo, hi, n_used, overflow
+
+
+def traverse(
+    graph: Graph,
+    g: GraphArrays,
+    seeds_arrays: SeedsArrays,
+    index: SeedsIndex,
+    loci: List[Position],
+    k: int,
+    cap: int = 1 << 15,
+) -> List[Tuple[int, int, int, int, int]]:
+    """Device traversal wrapper with overflow retry.
+
+    Returns raw hits (node_id, node_offset, seed_id, gocc, match_len) as
+    the host mirror does; ordering is by frontier slot (multiset-equal to
+    the reference's emission order).
+    """
+    if not loci or index.size == 0 or g.max_out == 0:
+        return []
+    n = len(loci)
+    while True:
+        cap_eff = max(cap, 1 << (n - 1).bit_length())
+        start_nodes = np.zeros(cap_eff, dtype=np.int32)
+        start_offs = np.zeros(cap_eff, dtype=np.int32)
+        for i, l in enumerate(loci):
+            start_nodes[i] = l.node_id()
+            start_offs[i] = l.offset()
+        locus_idx, lo, hi, n_used, overflow = traverse_device(
+            g,
+            seeds_arrays,
+            jnp.asarray(start_nodes),
+            jnp.asarray(start_offs),
+            jnp.asarray(n, dtype=jnp.int32),
+            k,
+            cap_eff,
+        )
+        if bool(overflow):
+            cap = cap_eff * 2
+            continue
+        locus_idx = np.asarray(locus_idx)
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        n_used = int(n_used)
+        break
+
+    out = []
+    for i in range(n_used):
+        li = int(locus_idx[i])
+        spos = loci[li]
+        gocc = int(hi[i] - lo[i])
+        for sid in index.seed_ids[lo[i]: hi[i]]:
+            out.append((spos.node_id(), spos.offset(), int(sid), gocc, k))
+    return out
+
+
+def traverse_host(
+    graph: Graph, index: SeedsIndex, loci: List[Position], k: int
+) -> List[Tuple[int, int, int, int, int]]:
+    """Host mirror of the reference BFS traverser automaton
+    (ref: traverser_bfs.hpp:72-164) over the SeedsIndex trie.
+
+    Returns raw hits (node_id, node_offset, seed_id, gocc, match_len);
+    read mapping is applied by the caller.
+    """
+    out = []
+    # state: (start (nid, off), cur (nid, off), depth, lo, hi)
+    states = [
+        ((l.node_id(), l.offset()), (l.node_id(), l.offset()), 0, 0, index.size)
+        for l in loci
+    ]
+    labels = {}  # node -> codes
+
+    def node_codes(nid):
+        if nid not in labels:
+            from psi_tpu.ops.kmers import ACGT_CODE
+
+            c = ACGT_CODE[
+                np.frombuffer(
+                    graph.node_sequence(nid).encode("ascii"), dtype=np.uint8
+                )
+            ].astype(np.int32)
+            c[c < 0] = 4
+            labels[nid] = c
+        return labels[nid]
+
+    while states:
+        next_states = []
+        for (spos, (nid, off), depth, lo, hi) in states:
+            codes = node_codes(nid)
+            # consume chars until node end / depth k / death
+            dead = False
+            while depth < k and off < len(codes):
+                c = int(codes[off])
+                if c == 4:
+                    dead = True
+                    break
+                lo, hi = index.go_down(lo, hi, depth, c)
+                if lo >= hi:
+                    dead = True
+                    break
+                depth += 1
+                off += 1
+            if dead:
+                continue
+            if depth == k:
+                gocc = hi - lo
+                for sid in index.occurrences(lo, hi):
+                    out.append((spos[0], spos[1], int(sid), gocc, k))
+                continue
+            # node end with depth < k: fork per out-edge
+            for nb in graph.out_neighbors(nid):
+                next_states.append((spos, (int(nb), 0), depth, lo, hi))
+        states = next_states
+    return out

@@ -1,0 +1,144 @@
+"""Read/seed record sets and the reads-side k-mer index.
+
+Replaces the reference's Records/StringSet/SeedMap stack
+(ref: include/psi/sequence.hpp:1131-1332) with columnar arrays, and the
+reads-side WOTD/ESA suffix trie (ref: include/psi/index.hpp:33-77) with a
+*sorted packed k-mer array* + per-depth rank structure: descending the
+virtual trie one character at a time is a rank-refined range narrowing on
+the sorted keys — the same data-parallel shape as FM backward search.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from psi_tpu.ops.kmers import extract_kmers, pack_kmers, seq_to_codes
+
+BLOCK = 128  # rank checkpoint spacing for the per-depth structure
+
+
+class Records:
+    """A chunk of named sequences with a global record offset
+    (ref: sequence.hpp:1131-1294; rec_offset semantics :1277-1289)."""
+
+    def __init__(self, names: Sequence[str] = (), seqs: Sequence[str] = (),
+                 rec_offset: int = 0):
+        self.names: List[str] = list(names)
+        self.seqs: List[str] = list(seqs)
+        self.rec_offset = rec_offset
+
+    def __len__(self) -> int:
+        return len(self.seqs)
+
+    def clear(self):
+        self.names = []
+        self.seqs = []
+        self.rec_offset = 0
+
+    def length_sum(self) -> int:
+        return sum(len(s) for s in self.seqs)
+
+    def position_to_id(self, rec_id: int) -> int:
+        return self.rec_offset + rec_id
+
+
+class SeedSet:
+    """Seeds extracted from a read chunk: packed keys + seed->read map
+    (SeedMap equivalent, ref: sequence.hpp:1148-1220)."""
+
+    def __init__(self, keys, valid, seedmap, k: int, rec_offset: int = 0):
+        self.keys = keys          # uint64 [S]
+        self.valid = valid        # bool [S] (False: contains N)
+        self.seedmap = seedmap    # int64 [S, 2] (read_index, read_offset)
+        self.k = k
+        self.rec_offset = rec_offset
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def read_id(self, seed_id: int) -> int:
+        return self.rec_offset + int(self.seedmap[seed_id, 0])
+
+    def read_offset(self, seed_id: int) -> int:
+        return int(self.seedmap[seed_id, 1])
+
+
+def seeding(reads: Records, k: int, step: int) -> SeedSet:
+    """Extract k-mers with `step` spacing from each read
+    (ref: seeding() overloads, sequence.hpp:1688-1781; step==k gives the
+    non-overlapping strategy, step==1 greedy-overlapping)."""
+    keys, valid, seedmap = extract_kmers(reads.seqs, k, step)
+    return SeedSet(keys, valid, seedmap, k, reads.rec_offset)
+
+
+class SeedsIndex:
+    """Reads-side index: sorted packed k-mers + per-depth rank structure.
+
+    Functional stand-in for the WOTD/ESA trie over seeds: a state (lo, hi)
+    over the sorted key array is a trie node for the common prefix of
+    depth d; `go_down` narrows by one character via per-depth rank.
+    Within an equal-prefix range the depth-d characters are sorted, so
+
+        new_lo = lo + #(chars_d[lo:hi) < c)
+        new_hi = new_lo + #(chars_d[lo:hi) == c)
+
+    computed from checkpointed per-depth symbol counts (int32 only — no
+    64-bit emulation on device, any k <= 32).
+    """
+
+    def __init__(self, seeds: SeedSet):
+        self.seeds = seeds
+        self.k = seeds.k
+        keys = seeds.keys[seeds.valid]
+        ids = np.nonzero(seeds.valid)[0].astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        self.sorted_keys = keys[order]          # uint64 [V]
+        self.seed_ids = ids[order]              # int64 [V] original seed index
+        V = len(self.sorted_keys)
+        self.size = V
+        k = self.k
+        # per-depth char codes of the sorted keys
+        shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
+        if V:
+            self.chars = (
+                (self.sorted_keys[None, :] >> shifts[:, None]) & np.uint64(3)
+            ).astype(np.uint8)                   # [k, V]
+        else:
+            self.chars = np.zeros((k, 0), dtype=np.uint8)
+        # rank checkpoints per depth: occ[d, b, c] = # of char c in chars[d, :b*BLOCK]
+        nb = (V + BLOCK - 1) // BLOCK
+        self.occ = np.zeros((k, nb + 1, 4), dtype=np.int32)
+        for d in range(k):
+            onehot = np.zeros((V, 4), dtype=np.int32)
+            if V:
+                onehot[np.arange(V), self.chars[d]] = 1
+                csum = np.cumsum(onehot, axis=0)
+                for b in range(1, nb + 1):
+                    self.occ[d, b] = csum[min(b * BLOCK, V) - 1]
+
+    # --- host-side trie descent --------------------------------------------
+    def root(self) -> Tuple[int, int]:
+        return 0, self.size
+
+    def go_down(self, lo: int, hi: int, depth: int, c: int) -> Tuple[int, int]:
+        """Narrow range by char code c (0..3) at `depth`. Empty => (x, x)."""
+        if lo >= hi:
+            return lo, lo
+        ch = self.chars[depth]
+        new_lo = lo + int(np.searchsorted(ch[lo:hi], c, side="left"))
+        new_hi = lo + int(np.searchsorted(ch[lo:hi], c, side="right"))
+        return new_lo, new_hi
+
+    def descend(self, codes: Sequence[int]) -> Tuple[int, int]:
+        lo, hi = self.root()
+        for d, c in enumerate(codes):
+            lo, hi = self.go_down(lo, hi, d, int(c))
+            if lo >= hi:
+                break
+        return lo, hi
+
+    def occurrences(self, lo: int, hi: int) -> np.ndarray:
+        """Original seed indices for a full-depth range."""
+        return self.seed_ids[lo:hi]

@@ -9,13 +9,19 @@ import os
 import pathlib
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU
-# tunnel); correctness tests must not round-trip the network per dispatch.
+# tunnel) and a sitecustomize imports jax before this file runs, so the
+# env var alone is not enough — update the live jax config too.
+# Correctness tests must not round-trip the network per dispatch.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,89 @@
+"""Traverser parity tests.
+
+Mirrors the reference oracle (ref: test/src/test_traverser.cpp:49-146):
+10 error-free reads of length 10 on small/x.vg, traversed from every
+locus, must yield exactly these 10 hits in locus order:
+(1,0) (1,1) (9,4) (9,17) (16,0) (17,0) (20,0) (20,31) (20,38) (20,38)
+with read_id == hit index and read_offset == 0.
+"""
+
+import numpy as np
+import pytest
+
+from psi_tpu.graph import Position
+from psi_tpu.io import load_vg, read_fastq
+from psi_tpu.ops import traverse as trav
+from psi_tpu.records import Records, SeedsIndex, seeding
+from psi_tpu.ops.kmers import pack_kmers, seq_to_codes
+
+TRUTH = [
+    (1, 0), (1, 1), (9, 4), (9, 17), (16, 0),
+    (17, 0), (20, 0), (20, 31), (20, 38), (20, 38),
+]
+
+
+@pytest.fixture(scope="module")
+def setup(data_dir):
+    graph = load_vg(str(data_dir / "small" / "x.vg"))
+    names, seqs = read_fastq(str(data_dir / "small" / "reads_n10l10e0i0.fastq"))
+    assert len(seqs) == 10
+    reads = Records(names, seqs)
+    # reads themselves are the "seeds" here (length == k == 10)
+    seeds = seeding(reads, k=10, step=10)
+    index = SeedsIndex(seeds)
+    return graph, reads, seeds, index
+
+
+def all_loci(graph):
+    loci = []
+    for rank in range(1, graph.node_count + 1):
+        nid = graph.rank_to_id(rank)
+        for off in range(graph.node_length(nid)):
+            loci.append(Position(nid, off))
+    return loci
+
+
+def to_read_hits(seeds, raw_hits):
+    """(node, off, seed_id, gocc, len) -> (node, off, read_id, read_off)."""
+    return [
+        (nid, noff, seeds.read_id(sid), seeds.read_offset(sid))
+        for nid, noff, sid, gocc, L in raw_hits
+    ]
+
+
+def test_host_traverser_truth_table(setup):
+    graph, reads, seeds, index = setup
+    hits = []
+    for locus in all_loci(graph):
+        raw = trav.traverse_host(graph, index, [locus], 10)
+        hits.extend(to_read_hits(seeds, raw))
+    assert len(hits) == 10
+    for i, (nid, noff, rid, roff) in enumerate(hits):
+        assert (nid, noff) == TRUTH[i], i
+        assert rid == i
+        assert roff == 0
+
+
+def test_device_traverser_matches_host(setup):
+    graph, reads, seeds, index = setup
+    g = trav.graph_to_device(graph)
+    sa = trav.seeds_to_device(index)
+    loci = all_loci(graph)
+    raw_dev = trav.traverse(graph, g, sa, index, loci, 10)
+    raw_host = []
+    for locus in loci:
+        raw_host.extend(trav.traverse_host(graph, index, [locus], 10))
+    assert sorted(raw_dev) == sorted(raw_host)
+    assert len(raw_dev) == 10
+
+
+def test_traverser_branch_walks_emit_separately(setup):
+    graph, reads, seeds, index = setup
+    # reads 8 and 9 match two *different* branch walks from (20, 38)
+    # (node 20 suffix GGGCTT -> T / C branches); each walk reports its own
+    # hit with gocc = 1 — the duplicate-locus emission of the truth table.
+    raw = trav.traverse_host(graph, index, [Position(20, 38)], 10)
+    assert len(raw) == 2
+    assert all(h[3] == 1 for h in raw)
+    rids = sorted(seeds.read_id(h[2]) for h in raw)
+    assert rids == [8, 9]
