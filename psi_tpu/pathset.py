@@ -101,6 +101,9 @@ class PathIndex:
     def get_paths_set(self) -> PathSet:
         return self.paths_set
 
+    def __len__(self) -> int:
+        return len(self.paths_set)
+
     def push_back(self, path: Path):
         self.paths_set.push_back(path)
 

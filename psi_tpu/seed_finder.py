@@ -1,0 +1,601 @@
+"""SeedFinder — the orchestration layer (ref: include/psi/seed_finder.hpp).
+
+Pipeline: pick paths -> index paths (FM over reversed path sequences) ->
+detect uncovered starting loci -> build distance index; then per read
+chunk: seeding -> index seeds -> seeds_on_paths (batched FM route) +
+seeds_off_paths (frontier traversal route).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from psi_tpu.dindex import DistanceIndex
+from psi_tpu.graph import Graph, Position
+from psi_tpu.graphiter import BacktrackerIter, BFSIter, HaplotyperIter
+from psi_tpu.pathset import PathIndex, get_uniq_haplotype
+from psi_tpu.pathutil import Path, trim_back
+from psi_tpu.records import Records, SeedSet, SeedsIndex, seeding
+from psi_tpu.seed import Seed
+from psi_tpu.stats import NoStats, ProgressEnum, SeedFinderStats
+from psi_tpu.graphiter import extend_to_k
+
+
+class SeedFinder:
+    """(ref: seed_finder.hpp:930-942 ctor; query methods are const /
+    side-effect-free so chunks can be processed concurrently)."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        seed_len: int,
+        gocc_threshold: int = 0,
+        max_mem: int = 0,
+        stats: Optional[SeedFinderStats] = None,
+        rng_seed: int = 0,
+    ):
+        self.graph = graph
+        self.seed_len = seed_len
+        self.gocc_threshold = gocc_threshold
+        self.max_mem = max_mem
+        self.stats = stats if stats is not None else NoStats()
+        self.pindex = PathIndex(graph)
+        self.starting_loci: List[Position] = []
+        self.dindex = DistanceIndex(0, 0)
+        self.d = (0, 0)
+        self._rng_seed = rng_seed
+        # device-side caches (built lazily)
+        self._fm_arrays = None
+        self._graph_arrays = None
+        self._path_map = None
+
+    # === path picking =======================================================
+    def _set_context(self, context: int, patched: bool) -> int:
+        """(ref: seed_finder.hpp:1772-1787)"""
+        if not patched:
+            context = 0
+        if patched and context == 0:
+            context = self.seed_len
+        self.pindex.set_context(context)
+        return context
+
+    def pick_paths(
+        self,
+        n: int,
+        patched: bool = True,
+        context: int = 0,
+        progress: Optional[Callable[[str, int], None]] = None,
+    ):
+        """Pick n paths per region / reference path
+        (ref: seed_finder.hpp:1138-1167)."""
+        if n == 0:
+            return
+        if self.graph.get_path_count() == 0:
+            raise RuntimeError("no reference path found in the input graph")
+        self.stats.set_progress(ProgressEnum.SELECT_PATHS)
+        with self.stats.timeit_ts("pick-paths"):
+            context = self._set_context(context, patched)
+            hp = HaplotyperIter(
+                self.graph, rng=np.random.RandomState(self._rng_seed)
+            )
+            for path_rank, (name, nodes) in self.graph.for_each_path():
+                start = int(nodes[0])
+                hp.reset(start)
+                for i in range(n):
+                    if progress:
+                        progress(name, i + 1)
+                    get_uniq_haplotype(self.pindex, hp, context, patched)
+
+    def index_paths(self):
+        """(ref: seed_finder.hpp:1169-1176)"""
+        self.stats.set_progress(ProgressEnum.CREATE_PINDEX)
+        with self.stats.timeit_ts("index-paths"):
+            self.pindex.create_index()
+            self._build_path_map()
+            self._fm_arrays = None
+
+    def _build_path_map(self):
+        """Flat arrays mapping a global forward path position to
+        (node_id, node_offset) — the batched equivalent of
+        Path::rank/select (ref: pathindex.hpp:360-416)."""
+        pset = self.pindex.get_paths_set()
+        lengths = np.array([p.get_sequence_len() for p in pset], dtype=np.int64)
+        seq_off = np.zeros(len(pset) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=seq_off[1:])
+        starts_l, ids_l, base_l = [], [], []
+        for pidx, path in enumerate(pset):
+            node_starts = path._node_starts()[:-1] + seq_off[pidx]
+            starts_l.append(node_starts)
+            ids_l.append(np.asarray(path.get_nodes(), dtype=np.int64))
+            base = np.zeros(len(path.get_nodes()), dtype=np.int64)
+            if len(base):
+                base[0] = path.get_head_offset()
+            base_l.append(base)
+        self._path_map = {
+            "lengths": lengths,
+            "seq_off": seq_off,
+            "starts": np.concatenate(starts_l) if starts_l else np.zeros(0, np.int64),
+            "ids": np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64),
+            "base": np.concatenate(base_l) if base_l else np.zeros(0, np.int64),
+        }
+
+    # === uncovered loci =====================================================
+    def add_start(self, node_id: int, offset: int = None):
+        if offset is None:
+            self.starting_loci.append(node_id)  # Position instance
+        else:
+            self.starting_loci.append(Position(node_id, offset))
+        self.stats.total_loci = len(self.starting_loci)
+
+    def get_starting_loci(self) -> List[Position]:
+        return self.starting_loci
+
+    def set_starting_loci(self, loci):
+        self.starting_loci = list(loci)
+
+    def add_uncovered_loci(self, step: int = 1):
+        """Detect loci whose k-context is not fully covered by the path set
+        (exact mirror of ref: seed_finder.hpp:1481-1541)."""
+        pathset = self.pindex.get_paths_set()
+        if len(pathset) == 0:
+            self.add_all_loci(step)
+            return
+        self.stats.set_progress(ProgressEnum.FIND_UNCOVERED)
+        with self.stats.timeit_ts("find-uncovered"):
+            g = self.graph
+            k = self.seed_len
+            bt = BacktrackerIter(g)
+            trav_path = Path(g)
+            bv_starts = np.zeros(g.max_node_len(), dtype=bool)
+
+            for rank in range(1, g.node_count + 1):
+                nid = g.rank_to_id(rank)
+                label_len = g.node_length(nid)
+                offset = label_len
+
+                bt.reset(nid)
+                while not bt.at_end() and offset != 0:
+                    extend_to_k(trav_path, bt, offset - 1 + k)
+                    current_path = None
+                    if trav_path.get_sequence_len() >= k:
+                        current_path = Path(
+                            g, list(trav_path.get_nodes()),
+                            trav_path.left, trav_path.right,
+                        )
+                    while (
+                        current_path is not None
+                        and current_path.get_sequence_len() != 0
+                        and not pathset.covered_by(current_path.get_nodes())
+                    ):
+                        trimmed_len = current_path.get_sequence_len() - g.node_length(
+                            current_path.get_nodes()[-1]
+                        )
+                        if trimmed_len <= k - 1:
+                            offset = 0
+                            break
+                        offset = trimmed_len - k + 1
+                        trim_back(current_path)
+                    f = offset
+                    while (
+                        f < label_len
+                        and f + k < trav_path.get_sequence_len() + 1
+                    ):
+                        bv_starts[f] = True
+                        f += step
+
+                    bt.backtrack()
+                    trim_back(trav_path, bt.value if bt.value is not None else 0)
+
+                for f in range(label_len):
+                    if bv_starts[f]:
+                        bv_starts[f] = False
+                        self.add_start(nid, f)
+
+                trav_path.clear()
+
+    def add_all_loci(self, step: int = 1):
+        """Step-preserving all-loci fallback via BFS levels
+        (ref: seed_finder.hpp:1543-1585)."""
+        self.stats.set_progress(ProgressEnum.FIND_UNCOVERED)
+        with self.stats.timeit_ts("find-uncovered"):
+            bfs = BFSIter(self.graph)
+            prenode_remain = 0
+            remain_estimate = 0
+            prenode_level = 0
+            while not bfs.at_end():
+                if prenode_level != bfs.level():
+                    prenode_remain = remain_estimate
+                    remain_estimate = 0
+                    prenode_level = bfs.level()
+                seq_len = self.graph.node_length(bfs.value)
+                cursor = (step - prenode_remain) % step
+                while cursor < seq_len:
+                    self.add_start(bfs.value, cursor)
+                    cursor += step
+                if step - prenode_remain > seq_len:
+                    new_remain = prenode_remain + seq_len
+                else:
+                    new_remain = (seq_len - step + prenode_remain) % step
+                if remain_estimate < new_remain:
+                    remain_estimate = new_remain
+                bfs.next()
+
+    def get_nof_uniq_nodes(self) -> int:
+        return len({l.node_id() for l in self.starting_loci})
+
+    # === distance index =====================================================
+    def create_distance_index(
+        self, dmin: int, dmax: int, per_component: bool = True
+    ):
+        """(ref: seed_finder.hpp:1193-1265)"""
+        if dmin == 0 or (dmax != 0 and dmax < dmin):
+            return
+        if dmax == 0:
+            dmax = dmin
+        self.stats.set_progress(ProgressEnum.CREATE_DINDEX)
+        with self.stats.timeit_ts("index-distances"):
+            self.dindex = DistanceIndex.build(
+                self.graph, dmin, dmax, per_component
+            )
+            self.d = (dmin, dmax)
+
+    def verify_distance(self, v: int, o: int, u: int, p: int) -> bool:
+        with self.stats.timeit_ts("query-dindex"):
+            return self.dindex.verify(self.graph, v, o, u, p)
+
+    def save_distance_index(self, prefix: str) -> bool:
+        if self.dindex.empty and self.d == (0, 0):
+            return True
+        with self.stats.timeit_ts("save-dindex"):
+            self.dindex.save(self.get_dindex_path(prefix, *self.d))
+        return True
+
+    def open_distance_index(self, prefix: str, dmin: int = 0, dmax: int = 0) -> bool:
+        if dmax == 0:
+            dmax = dmin
+        self.d = (dmin, dmax)
+        path = self.get_dindex_path(prefix, dmin, dmax)
+        if not os.path.exists(path):
+            return False
+        with self.stats.timeit_ts("load-dindex"):
+            self.dindex = DistanceIndex.load(path)
+        return True
+
+    # === artifact paths (naming parity, ref: seed_finder.hpp:877-892) ======
+    @staticmethod
+    def get_dindex_path(prefix: str, dmin: int, dmax: int) -> str:
+        return f"{prefix}_dist_mat_m{dmin}M{dmax}.npz"
+
+    @staticmethod
+    def get_sloci_filepath(prefix: str, seed_len: int, step: int) -> str:
+        return f"{prefix}_loci_e{step}l{seed_len}"
+
+    # === starting loci persistence ==========================================
+    def save_starts(self, prefix: str, seed_len: int, step: int) -> bool:
+        """Store in *external* (coordinate) ids
+        (ref: seed_finder.hpp:1659-1679)."""
+        path = self.get_sloci_filepath(prefix, seed_len, step)
+        self.stats.set_progress(ProgressEnum.WRITE_STARTS)
+
+        def coord(nid):  # identity for ids outside the graph (mirrors gum)
+            return self.graph.coordinate_id(nid) if self.graph.has_node(nid) else nid
+
+        with self.stats.timeit_ts("save-starts"):
+            arr = np.array(
+                [(coord(l.node_id()), l.offset()) for l in self.starting_loci],
+                dtype=np.int64,
+            ).reshape(-1, 2)
+            np.save(path + ".npy", arr)
+        return True
+
+    def open_starts(self, prefix: str, seed_len: int, step: int) -> bool:
+        path = self.get_sloci_filepath(prefix, seed_len, step) + ".npy"
+        if not os.path.exists(path):
+            return False
+        self.stats.set_progress(ProgressEnum.LOAD_STARTS)
+        def internal(cid):
+            try:
+                return self.graph.id_by_coordinate(cid)
+            except KeyError:
+                return cid
+
+        with self.stats.timeit_ts("load-starts"):
+            arr = np.load(path)
+            self.starting_loci = [
+                Position(internal(int(c)), int(o)) for c, o in arr
+            ]
+        return True
+
+    # === full index lifecycle ==============================================
+    def create_path_index(
+        self,
+        n: int,
+        patched: bool = True,
+        context: int = 0,
+        step_size: int = 1,
+        dmin: int = 0,
+        dmax: int = 0,
+        per_component: bool = True,
+    ):
+        """(ref: seed_finder.hpp:1330-1355)"""
+        self.pick_paths(n, patched, context)
+        self.index_paths()
+        self.add_uncovered_loci(step_size)
+        self.create_distance_index(dmin, dmax, per_component)
+
+    def serialize_path_index(self, prefix: str, step_size: int = 1) -> bool:
+        if not prefix:
+            return False
+        self.stats.set_progress(ProgressEnum.WRITE_PINDEX)
+        with self.stats.timeit_ts("save-pindex"):
+            self.pindex.save(prefix)
+        return (
+            self.save_starts(prefix, self.seed_len, step_size)
+            and self.save_distance_index(prefix)
+        )
+
+    def load_path_index(
+        self,
+        prefix: str,
+        context: int = 0,
+        step_size: int = 1,
+        dmin: int = 0,
+        dmax: int = 0,
+    ) -> bool:
+        """Transparently rebuilds missing starts/dindex artifacts
+        (ref: seed_finder.hpp:1396-1413)."""
+        if not prefix:
+            return False
+        self.stats.set_progress(ProgressEnum.LOAD_PINDEX)
+        with self.stats.timeit_ts("load-pindex"):
+            self.pindex.set_context(context)
+            if not self.pindex.load(prefix):
+                return False
+            self._build_path_map()
+            self._fm_arrays = None
+        if not self.open_starts(prefix, self.seed_len, step_size):
+            self.add_uncovered_loci(step_size)
+            self.save_starts(prefix, self.seed_len, step_size)
+        if not self.open_distance_index(prefix, dmin, dmax):
+            self.create_distance_index(dmin, dmax, True)
+            self.save_distance_index(prefix)
+        return True
+
+    # === per-chunk query machinery ==========================================
+    def get_seeds(self, reads: Records, distance: int = 0) -> SeedSet:
+        """(ref: seed_finder.hpp:1099-1109; distance==0 -> non-overlapping)"""
+        self.stats.get_this_thread_stats().set_progress(ProgressEnum.SEED_CHUNK)
+        with self.stats.timeit_ts("seeding"):
+            if distance == 0:
+                distance = self.seed_len
+            return seeding(reads, self.seed_len, distance)
+
+    def index_reads(self, seeds: SeedSet) -> SeedsIndex:
+        """(ref: seed_finder.hpp:1089-1097)"""
+        self.stats.get_this_thread_stats().set_progress(ProgressEnum.INDEX_CHUNK)
+        with self.stats.timeit_ts("index-reads"):
+            return SeedsIndex(seeds)
+
+    # --- device array caches ------------------------------------------------
+    def _get_fm_arrays(self):
+        if self._fm_arrays is None and self.pindex.fm is not None:
+            from psi_tpu.ops import fm as fm_ops
+
+            self._fm_arrays = fm_ops.to_device(self.pindex.fm)
+        return self._fm_arrays
+
+    def _get_graph_arrays(self):
+        if self._graph_arrays is None:
+            from psi_tpu.ops import traverse as trav
+
+            self._graph_arrays = trav.graph_to_device(self.graph)
+        return self._graph_arrays
+
+    # === seeds on paths (FM route) ==========================================
+    def seeds_on_paths(
+        self,
+        seeds: SeedSet,
+        index: SeedsIndex,
+        callback: Callable[[Seed], None],
+    ):
+        """Batched equivalent of the dual-iterator kmer_exact_matches
+        (ref: seed_finder.hpp:1426-1457 driving index_iter.hpp:808-852):
+        every distinct seed k-mer is counted/located in the path FM index
+        in one device batch; hits are the cross product of path
+        occurrences x matching seeds, gocc = path-side occurrence count,
+        filtered by gocc_threshold.
+        """
+        context = self.pindex.get_context()
+        if context != 0 and context < self.seed_len:
+            raise RuntimeError("seed length should not be larger than context size")
+        if self.pindex.fm is None or self.pindex.fm.size == 0:
+            return
+        self.stats.set_progress(ProgressEnum.READY)
+        tstats = self.stats.get_this_thread_stats()
+        tstats.set_progress(ProgressEnum.FIND_ON_PATHS)
+        with self.stats.timeit_ts("seeds-on-paths"):
+            self._seeds_on_paths_impl(seeds, index, callback)
+
+    def _seeds_on_paths_impl(self, seeds, index, callback):
+        import jax.numpy as jnp
+
+        from psi_tpu.ops import fm as fm_ops
+
+        tstats = self.stats.get_this_thread_stats()
+        k = self.seed_len
+        if index.size == 0:
+            return
+        # distinct k-mers and their seed-range boundaries in sorted order
+        uniq_keys, uniq_start = np.unique(index.sorted_keys, return_index=True)
+        uniq_end = np.append(uniq_start[1:], index.size)
+
+        arrays = self._get_fm_arrays()
+        codes = fm_ops.keys_to_codes(uniq_keys, k)
+        lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
+        lo = np.asarray(lo)
+        hi = np.asarray(hi)
+        counts = hi - lo
+
+        thr = self.gocc_threshold if self.gocc_threshold else np.iinfo(np.int64).max
+        present = counts > 0
+        emit = present & (counts <= thr)
+        skipped = present & ~emit
+        for c in counts[emit]:
+            tstats.add_seed_gocc(int(c))
+        for _ in range(int(skipped.sum())):
+            tstats.inc_gocc_skips()
+
+        if not emit.any():
+            return
+        widths = counts[emit]
+        maxw = int(widths.max())
+        pos, mask = fm_ops.locate_ranges(
+            arrays, jnp.asarray(lo[emit]), jnp.asarray(hi[emit]), maxw
+        )
+        pos = np.asarray(pos)
+        mask = np.asarray(mask)
+
+        fm = self.pindex.fm
+        pm = self._path_map
+        emit_idx = np.nonzero(emit)[0]
+        for row, ui in enumerate(emit_idx):
+            occ_pos = pos[row][mask[row]]
+            # map reversed-text positions -> (path, fwd start) -> (node, off)
+            sid, q = fm.text_pos_to_string(occ_pos)
+            fwd = pm["lengths"][sid] - q - k
+            gpos = pm["seq_off"][sid] + fwd
+            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+            node_ids = pm["ids"][entry]
+            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+            gocc = int(counts[ui])
+            s0, s1 = uniq_start[ui], uniq_end[ui]
+            seed_ids = index.seed_ids[s0:s1]
+            for nid, noff in zip(node_ids, node_offs):
+                for sid2 in seed_ids:
+                    callback(
+                        Seed(
+                            int(nid),
+                            int(noff),
+                            seeds.read_id(int(sid2)),
+                            seeds.read_offset(int(sid2)),
+                            k,
+                            gocc,
+                        )
+                    )
+
+    # === MEM query path (library API, ref: seed_finder.hpp:1459-1479) ======
+    def seeds_on_paths_seq(
+        self, sequence: str, callback: Callable[[Seed], None]
+    ):
+        """find_mems over the path index (ref: index_iter.hpp:854-906)."""
+        if self.pindex.fm is None or self.pindex.fm.size == 0:
+            return
+        self.stats.set_progress(ProgressEnum.READY)
+        self.stats.get_this_thread_stats().set_progress(ProgressEnum.FIND_MEMS)
+        with self.stats.timeit_ts("query-paths"):
+            self._find_mems_impl(sequence, callback)
+
+    def _find_mems_impl(self, sequence: str, callback):
+        fm = self.pindex.fm
+        pm = self._path_map
+        k = self.seed_len
+        thr = self.gocc_threshold if self.gocc_threshold else float("inf")
+        max_mem = self.max_mem if self.max_mem else float("inf")
+
+        start = 0
+        plen = 0
+        lo, hi = 0, fm.size
+        has_hit = False
+        nof_hits = 0
+        n = len(sequence)
+        while start + plen < n:
+            if plen >= k and (hi - lo) <= thr:
+                has_hit = True
+                occ = fm.locate(lo, hi)
+                sid, q = fm.text_pos_to_string(np.asarray(occ))
+                fwd = pm["lengths"][sid] - q - plen
+                gpos = pm["seq_off"][sid] + fwd
+                entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+                for nid, noff in zip(
+                    pm["ids"][entry],
+                    gpos - pm["starts"][entry] + pm["base"][entry],
+                ):
+                    callback(
+                        Seed(int(nid), int(noff), 0, start, plen, int(hi - lo))
+                    )
+                    nof_hits += 1
+                if nof_hits >= max_mem:
+                    break
+            ch = sequence[start + plen]
+            if has_hit or ch == "N":
+                lo, hi = 0, fm.size
+                start = start + plen + 1
+                plen = 0
+                has_hit = False
+                continue
+            c = int(fm.codemap[ord(ch)])
+            nlo, nhi = fm.lf_step(c, lo, hi)
+            if nlo >= nhi:
+                lo, hi = 0, fm.size
+                start = start + plen + 1
+                plen = 0
+                has_hit = False
+                continue
+            lo, hi = nlo, nhi
+            plen += 1
+
+    # === seeds off paths (traversal route) ==================================
+    def seeds_off_paths(
+        self,
+        seeds: SeedSet,
+        index: SeedsIndex,
+        callback: Callable[[Seed], None],
+        device: bool = True,
+    ):
+        """(ref: seed_finder.hpp:1703-1722 over traverser_bfs.hpp:72-164)"""
+        self.stats.set_progress(ProgressEnum.READY)
+        tstats = self.stats.get_this_thread_stats()
+        tstats.set_progress(ProgressEnum.FIND_OFF_PATHS)
+        with self.stats.timeit_ts("seeds-off-path"):
+            if not self.starting_loci:
+                return
+            from psi_tpu.ops import traverse as trav
+
+            if device:
+                g = self._get_graph_arrays()
+                sa = trav.seeds_to_device(index)
+                raw = trav.traverse(
+                    self.graph, g, sa, index, self.starting_loci, self.seed_len
+                )
+            else:
+                raw = trav.traverse_host(
+                    self.graph, index, self.starting_loci, self.seed_len
+                )
+            for nid, noff, sid, gocc, L in raw:
+                callback(
+                    Seed(
+                        nid,
+                        noff,
+                        seeds.read_id(sid),
+                        seeds.read_offset(sid),
+                        L,
+                        gocc,
+                    )
+                )
+            tstats.set_locus_idx(len(self.starting_loci))
+
+    # === combined ===========================================================
+    def seeds_all(
+        self,
+        seeds: SeedSet,
+        index: SeedsIndex,
+        callback: Callable[[Seed], None],
+        device: bool = True,
+    ):
+        """(ref: seed_finder.hpp:1724-1743)"""
+        self.seeds_on_paths(seeds, index, callback)
+        self.seeds_off_paths(seeds, index, callback, device=device)
+        self.stats.get_this_thread_stats().inc_chunks_done()
