@@ -1,0 +1,114 @@
+"""Benchmark: batched FM backward search (the engine's hot kernel) on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline = speedup over the single-core host (NumPy) backward search —
+the stand-in for the reference's single-thread sdsl inner loop, since the
+reference repo publishes no absolute numbers (BASELINE.md) and its C++
+toolchain cannot be built in this zero-egress image.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    size_mb = float(os.environ.get("PSI_BENCH_MB", "4"))
+    n_queries = int(os.environ.get("PSI_BENCH_QUERIES", str(1 << 19)))
+    k = int(os.environ.get("PSI_BENCH_K", "20"))
+    iters = int(os.environ.get("PSI_BENCH_ITERS", "5"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    # persistent compile cache: first compile through the remote-compile
+    # relay can take minutes; reruns hit the cache
+    cache_dir = os.environ.get(
+        "PSI_COMPILE_CACHE", os.path.expanduser("~/.cache/psi_tpu_xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops import fm as fm_ops
+
+    rng = np.random.RandomState(42)
+    n_paths = 4
+    path_len = int(size_mb * 1e6 / n_paths)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=path_len)) for _ in range(n_paths)
+    ]
+
+    t0 = time.monotonic()
+    fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+    build_s = time.monotonic() - t0
+    print(f"# index build: {build_s:.1f}s for {size_mb}MB text", file=sys.stderr)
+
+    # query batch: half true substrings, half random
+    kmers = np.empty((n_queries, k), dtype=np.int32)
+    half = n_queries // 2
+    src = rng.randint(0, n_paths, size=half)
+    starts = rng.randint(0, path_len - k, size=half)
+    lut = np.full(256, 0, dtype=np.int32)
+    for i, ch in enumerate("ACGT"):
+        lut[ord(ch)] = i
+    for row in range(half):
+        s = strings[src[row]]
+        frag = s[starts[row]: starts[row] + k]
+        kmers[row] = lut[np.frombuffer(frag.encode(), dtype=np.uint8)]
+    kmers[half:] = rng.randint(0, 4, size=(n_queries - half, k))
+    codes = (kmers + 1).astype(np.int32)
+
+    arrays = fm_ops.to_device(fm)
+    codes_d = jnp.asarray(codes)
+
+    # warm up (compile; the remote-compile relay can take tens of seconds)
+    t0 = time.monotonic()
+    lo, hi = fm_ops.backward_search_codes(arrays, codes_d)
+    np.asarray(lo)  # force execution — block_until_ready is deferred here
+    print(f"# compile+first run: {time.monotonic()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    for _ in range(iters):
+        lo, hi = fm_ops.backward_search_codes(arrays, codes_d)
+        np.asarray(lo)  # fetch forces execution each iteration
+    device_s = (time.monotonic() - t0) / iters
+    device_rate = n_queries / device_s
+
+    # host single-core baseline on a sample
+    n_host = min(2000, n_queries)
+    t0 = time.monotonic()
+    for row in range(n_host):
+        pat = "".join("ACGT"[c - 1] for c in codes[row])
+        fm.backward_search(pat[::-1])
+    host_s = time.monotonic() - t0
+    host_rate = n_host / host_s
+
+    counts = np.asarray(hi - lo)
+    print(
+        f"# device: {device_rate:.3e} kmers/s ({device_s*1e3:.1f} ms/batch); "
+        f"host: {host_rate:.3e} kmers/s; hits: {int((counts > 0).sum())}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "fm_backward_search_throughput",
+                "value": round(device_rate, 1),
+                "unit": "kmer_queries/s",
+                "vs_baseline": round(device_rate / host_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

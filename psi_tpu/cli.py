@@ -1,0 +1,218 @@
+"""psikt — the seed-finding CLI (flag + output parity with ref: src/psikt.cpp).
+
+Output format: raw binary stream of (node_id, node_offset, read_id,
+read_offset) per hit, 8-byte little-endian each (ref: psikt.cpp:172-181
+writes the four size_t fields of each Seed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import struct
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("psikt")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="psikt",
+        description="Pan-genome seed finder (TPU-native PSI).",
+    )
+    p.add_argument("graph", metavar="GRAPH_FILE", help="graph file (vg or gfa)")
+    p.add_argument("-f", "--fastq", required=True, help="reads in FASTQ format")
+    p.add_argument("-o", "--output", default="out.gam", help="output file")
+    p.add_argument("-I", "--path-index", default="", help="path index prefix")
+    p.add_argument("-l", "--seed-length", type=int, required=True)
+    p.add_argument(
+        "-c", "--chunk-size", type=int, default=0,
+        help="reads chunk size (0 = all reads as one chunk)",
+    )
+    p.add_argument(
+        "-e", "--step-size", type=int, default=1,
+        help="min approximate distance between consecutive starting loci",
+    )
+    p.add_argument(
+        "-d", "--distance", type=int, default=0,
+        help="distance between seeds (default: seed length)",
+    )
+    p.add_argument(
+        "-n", "--path-num", type=int, default=0,
+        help="number of paths included in the path index",
+    )
+    p.add_argument(
+        "-P", "--no-patched", action="store_true",
+        help="use full genome-wide paths",
+    )
+    p.add_argument("-t", "--context", type=int, default=0, help="patching context")
+    p.add_argument(
+        "-r", "--gocc-threshold", type=int, default=0,
+        help="seed genome occurrence count threshold",
+    )
+    p.add_argument(
+        "-E", "--max-mem", type=int, default=0,
+        help="maximum number of MEMs on paths",
+    )
+    p.add_argument("-m", "--min-insert-size", type=int, default=0)
+    p.add_argument("-M", "--max-insert-size", type=int, default=0)
+    p.add_argument(
+        "--dindex-mode", choices=["per-component", "whole"],
+        default="per-component",
+    )
+    p.add_argument(
+        "-i", "--index", default="WOTD",
+        choices=["SA", "ESA", "WOTD", "DFI", "QGRAM", "FM"],
+        help="reads-side index type (accepted for compatibility; the "
+        "engine always uses the sorted packed k-mer index)",
+    )
+    p.add_argument("-x", "--index-only", action="store_true")
+    p.add_argument("-L", "--log-file", default="psi.log")
+    p.add_argument("-Q", "--no-log-file", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-C", "--no-color", action="store_true")
+    p.add_argument("-D", "--disable-log", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument(
+        "--device", choices=["auto", "tpu", "cpu"], default="auto",
+        help="compute platform for the batched engines",
+    )
+    return p
+
+
+def setup_logging(args):
+    handlers = []
+    if not args.quiet:
+        handlers.append(logging.StreamHandler(sys.stderr))
+    if not args.no_log_file and not args.disable_log:
+        handlers.append(logging.FileHandler(args.log_file))
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="[%(asctime)s] [%(name)s] [%(levelname)s] %(message)s",
+        handlers=handlers if not args.disable_log else [logging.NullHandler()],
+    )
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_logging(args)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from psi_tpu.io import load_graph
+    from psi_tpu.io.fastq import FastxStream
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+    from psi_tpu.stats import SeedFinderStats, Timer
+
+    stats = SeedFinderStats()
+    SeedFinderStats.track(stats)
+    SeedFinderStats.install_signal_handler()
+
+    t0 = time.monotonic()
+    log.info("Loading input graph from '%s'...", args.graph)
+    graph = load_graph(args.graph)
+    log.info(
+        "Loaded the graph in %.3fs (%d nodes, %d edges, %d paths).",
+        time.monotonic() - t0, graph.node_count, graph.edge_count,
+        graph.get_path_count(),
+    )
+
+    finder = SeedFinder(
+        graph,
+        args.seed_length,
+        gocc_threshold=args.gocc_threshold,
+        max_mem=args.max_mem,
+        stats=stats,
+    )
+
+    loaded = False
+    if args.path_index:
+        log.info("Opening path index '%s'...", args.path_index)
+        loaded = finder.load_path_index(
+            args.path_index, args.context, args.step_size,
+            args.min_insert_size, args.max_insert_size,
+        )
+        if loaded:
+            log.info("Path index loaded.")
+        else:
+            log.info("No valid path index found; creating...")
+    if not loaded:
+        finder.create_path_index(
+            args.path_num,
+            not args.no_patched,
+            args.context,
+            args.step_size,
+            args.min_insert_size,
+            args.max_insert_size,
+            per_component=(args.dindex_mode == "per-component"),
+        )
+        log.info("Picked paths in %.3fs.", Timer.get_duration("pick-paths") or 0)
+        if args.path_index:
+            log.info("Saving path index...")
+            if not finder.serialize_path_index(args.path_index, args.step_size):
+                log.warning("Specified path index file is not writable. Skipping...")
+
+    log.info(
+        "Number of starting loci (in %d nodes of total %d): %d",
+        finder.get_nof_uniq_nodes(), graph.node_count,
+        len(finder.get_starting_loci()),
+    )
+
+    if args.index_only:
+        log.info("Skipping seed finding as requested...")
+        return 0
+
+    found = 0
+    covered_reads = set()
+    out = open(args.output, "wb")
+
+    def write_callback(hit):
+        nonlocal found
+        found += 1
+        out.write(
+            struct.pack(
+                "<qqqq", hit.node_id, hit.node_offset, hit.read_id,
+                hit.read_offset,
+            )
+        )
+        covered_reads.add(hit.read_id)
+
+    log.info("Finding seeds...")
+    stream = FastxStream(args.fastq)
+    t_find = time.monotonic()
+    while True:
+        offset = stream.counts()
+        names, seqs = stream.read_chunk(args.chunk_size)
+        if not names:
+            break
+        chunk = Records(names, seqs, rec_offset=offset)
+        log.info(
+            "Fetched %d reads with total length of %dbp.",
+            len(chunk), chunk.length_sum(),
+        )
+        seeds = finder.get_seeds(chunk, args.distance)
+        index = finder.index_reads(seeds)
+        log.info("Seeding done (%d seeds).", len(seeds))
+        finder.seeds_all(seeds, index, write_callback)
+        if args.chunk_size == 0:
+            break
+    out.close()
+
+    log.info("Found seeds in %.3fs.", time.monotonic() - t_find)
+    log.info("Total number of seeds found: %d", found)
+    log.info("Number of reads covered by seeds: %d", len(covered_reads))
+    for name, timer in sorted(Timer.get_timers().items()):
+        log.info("%s time: %.3fs", name, timer.lap())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
