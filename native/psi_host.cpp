@@ -1,0 +1,210 @@
+// psi_host — native host-side kernels for the psi_tpu engine.
+//
+// Exposed via a plain C ABI consumed through ctypes (no pybind11):
+//   * psi_sais:        linear-time suffix array (SA-IS) over byte text.
+//     Replaces the O(n log^2 n) NumPy prefix-doubling build for
+//     chromosome-scale path texts (the reference leans on sdsl's
+//     disk-based construction for the same reason; ref:
+//     include/psi/fmindex.hpp:214-237).
+//   * psi_fastq_scan:  single-pass FASTQ/FASTA record boundary scanner
+//     feeding packed read batches (kseq-style streaming frontend; ref:
+//     include/psi/sequence.hpp:1608-1624).
+//   * psi_bwt_from_sa: BWT symbol extraction.
+//
+// Build: make -C native   (produces libpsi_host.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// SA-IS (Nong, Zhang & Chan): induced sorting of LMS substrings, recursion
+// on the reduced problem, final induced sort. Generic over index type.
+// ---------------------------------------------------------------------------
+
+template <typename T>
+static void get_counts(const T* s, int64_t n, int64_t K, int64_t* cnt) {
+  std::memset(cnt, 0, sizeof(int64_t) * K);
+  for (int64_t i = 0; i < n; ++i) ++cnt[s[i]];
+}
+
+static void get_buckets(const int64_t* cnt, int64_t K, int64_t* bkt,
+                        bool end) {
+  int64_t sum = 0;
+  for (int64_t i = 0; i < K; ++i) {
+    sum += cnt[i];
+    bkt[i] = end ? sum : sum - cnt[i];
+  }
+}
+
+template <typename T>
+static void induce_sa(const T* s, int64_t n, int64_t K, const uint8_t* t,
+                      int64_t* sa, int64_t* cnt, int64_t* bkt) {
+  // L-type induction (left to right)
+  get_buckets(cnt, K, bkt, false);
+  if (n > 0) {
+    int64_t j = n - 1;
+    if (!t[j]) sa[bkt[s[j]]++] = j;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t j = sa[i] - 1;
+    if (sa[i] > 0 && !t[j]) sa[bkt[s[j]]++] = j;
+  }
+  // S-type induction (right to left)
+  get_buckets(cnt, K, bkt, true);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    int64_t j = sa[i] - 1;
+    if (sa[i] > 0 && t[j]) sa[--bkt[s[j]]] = j;
+  }
+}
+
+template <typename T>
+static void sais_impl(const T* s, int64_t n, int64_t K, int64_t* sa) {
+  if (n == 0) return;
+  if (n == 1) {
+    sa[0] = 0;
+    return;
+  }
+
+  std::vector<uint8_t> t(n);  // 1 = S-type, 0 = L-type
+  t[n - 1] = 1;
+  for (int64_t i = n - 2; i >= 0; --i)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+
+  std::vector<int64_t> cnt(K), bkt(K);
+  get_counts(s, n, K, cnt.data());
+
+  // step 1: place LMS suffixes, induce-sort LMS substrings
+  for (int64_t i = 0; i < n; ++i) sa[i] = -1;
+  get_buckets(cnt.data(), K, bkt.data(), true);
+  for (int64_t i = 1; i < n; ++i)
+    if (t[i] && !t[i - 1]) sa[--bkt[s[i]]] = i;
+  induce_sa(s, n, K, t.data(), sa, cnt.data(), bkt.data());
+
+  // compact sorted LMS substring starts into sa[0..n1)
+  int64_t n1 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = sa[i];
+    if (p > 0 && t[p] && !t[p - 1]) sa[n1++] = p;
+  }
+
+  // name LMS substrings
+  for (int64_t i = n1; i < n; ++i) sa[i] = -1;
+  int64_t name = 0, prev = -1;
+  for (int64_t i = 0; i < n1; ++i) {
+    int64_t pos = sa[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; ++d) {
+        if (pos + d >= n || prev + d >= n) { diff = (pos + d >= n) != (prev + d >= n); break; }
+        bool lms_p = (pos + d > 0) && t[pos + d] && !t[pos + d - 1];
+        bool lms_q = (prev + d > 0) && t[prev + d] && !t[prev + d - 1];
+        if (d > 0 && lms_p && lms_q) break;  // both ended, equal
+        if (s[pos + d] != s[prev + d] || lms_p != lms_q) { diff = true; break; }
+      }
+    }
+    if (diff) { ++name; prev = pos; }
+    sa[n1 + pos / 2] = name - 1;
+  }
+  // compact names
+  int64_t* s1 = sa + n - n1;
+  for (int64_t i = n - 1, j = n - 1; i >= n1; --i)
+    if (sa[i] >= 0) sa[j--] = sa[i];
+
+  // step 2: recurse if names are not unique
+  if (name < n1) {
+    sais_impl(s1, n1, name, sa);
+  } else {
+    for (int64_t i = 0; i < n1; ++i) sa[s1[i]] = i;
+  }
+
+  // step 3: induce the full SA from the sorted LMS suffixes
+  // collect LMS positions in text order into s1
+  for (int64_t i = 1, j = 0; i < n; ++i)
+    if (t[i] && !t[i - 1]) s1[j++] = i;
+  for (int64_t i = 0; i < n1; ++i) sa[i] = s1[sa[i]];
+  for (int64_t i = n1; i < n; ++i) sa[i] = -1;
+  get_buckets(cnt.data(), K, bkt.data(), true);
+  for (int64_t i = n1 - 1; i >= 0; --i) {
+    int64_t j = sa[i];
+    sa[i] = -1;
+    sa[--bkt[s[j]]] = j;
+  }
+  induce_sa(s, n, K, t.data(), sa, cnt.data(), bkt.data());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of a byte string (alphabet size K <= 256). sa: int64[n].
+// SA-IS requires a unique smallest terminator: the text is shifted +1
+// into an int32 workspace and a 0 sentinel appended; the sentinel suffix
+// (always rank 0) is dropped from the result.
+void psi_sais(const uint8_t* text, int64_t n, int64_t* sa) {
+  if (n <= 0) return;
+  std::vector<int32_t> s(n + 1);
+  for (int64_t i = 0; i < n; ++i) s[i] = (int32_t)text[i] + 1;
+  s[n] = 0;
+  std::vector<int64_t> sa_tmp(n + 1);
+  sais_impl<int32_t>(s.data(), n + 1, 257, sa_tmp.data());
+  // sa_tmp[0] is the sentinel suffix (position n)
+  std::memcpy(sa, sa_tmp.data() + 1, sizeof(int64_t) * n);
+}
+
+// BWT extraction: bwt[i] = text[(sa[i] + n - 1) % n].
+void psi_bwt_from_sa(const uint8_t* text, const int64_t* sa, int64_t n,
+                     uint8_t* bwt) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = sa[i];
+    bwt[i] = text[p == 0 ? n - 1 : p - 1];
+  }
+}
+
+// Single-pass FASTQ record scanner over an in-memory buffer.
+// Fills seq_starts/seq_lens (and name_starts/name_lens) for up to
+// max_records records; returns the number found; *consumed is set to the
+// byte offset just past the last complete record.
+int64_t psi_fastq_scan(const uint8_t* buf, int64_t len, int64_t max_records,
+                       int64_t* name_starts, int64_t* name_lens,
+                       int64_t* seq_starts, int64_t* seq_lens,
+                       int64_t* consumed) {
+  int64_t i = 0, nrec = 0;
+  *consumed = 0;
+  while (i < len && nrec < max_records) {
+    if (buf[i] != '@') break;
+    int64_t name_beg = i + 1;
+    while (i < len && buf[i] != '\n') ++i;
+    if (i >= len) break;
+    int64_t name_end = name_beg;
+    while (name_end < (int64_t)i && buf[name_end] != ' ' &&
+           buf[name_end] != '\t')
+      ++name_end;
+    int64_t seq_beg = ++i;
+    while (i < len && buf[i] != '\n') ++i;
+    if (i >= len) break;
+    int64_t seq_end = i;
+    ++i;  // past newline
+    if (i >= len || buf[i] != '+') break;
+    while (i < len && buf[i] != '\n') ++i;  // '+' line
+    if (i >= len) break;
+    ++i;
+    int64_t qlen = seq_end - seq_beg;
+    if (i + qlen > len) break;
+    i += qlen;
+    if (i < len && buf[i] == '\n') ++i;
+    name_starts[nrec] = name_beg;
+    name_lens[nrec] = name_end - name_beg;
+    seq_starts[nrec] = seq_beg;
+    seq_lens[nrec] = qlen;
+    ++nrec;
+    *consumed = i;
+  }
+  return nrec;
+}
+
+}  // extern "C"

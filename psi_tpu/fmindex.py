@@ -51,12 +51,17 @@ def encode(text: str | bytes) -> np.ndarray:
 
 
 def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (numpy argsort based).
+    """Suffix array: native linear-time SA-IS (native/psi_host.cpp) with a
+    vectorized prefix-doubling fallback (O(n log^2 n))."""
+    from psi_tpu import native
 
-    O(n log^2 n); replaced by a C++ SA-IS for chromosome-scale builds, but
-    fully vectorized and adequate for path-index construction at test and
-    benchmark scale.
-    """
+    sa = native.sais(np.asarray(codes, dtype=np.uint8))
+    if sa is not None:
+        return sa
+    return _suffix_array_doubling(codes)
+
+
+def _suffix_array_doubling(codes: np.ndarray) -> np.ndarray:
     n = len(codes)
     if n == 0:
         return np.zeros(0, dtype=np.int64)

@@ -58,17 +58,47 @@ def iter_fastx(path: str) -> Iterator[Tuple[str, str]]:
 
 class FastxStream:
     """Chunked reader with a global record counter
-    (counts() mirrors kseq++ SeqStreamIn usage for rec_offset)."""
+    (counts() mirrors kseq++ SeqStreamIn usage for rec_offset).
+
+    FASTQ files use the native single-pass scanner (native/psi_host.cpp)
+    over the in-memory buffer when available; FASTA and exotic layouts
+    fall back to the Python generator.
+    """
 
     def __init__(self, path: str):
-        self._iter = iter_fastx(path)
         self._count = 0
+        self._buf = None
+        self._pos = 0
+        self._iter = None
+        from psi_tpu import native
+
+        if native.available():
+            with _open_binary(path) as fh:
+                head = fh.read(1)
+                if head == b"@":
+                    self._buf = head + fh.read()
+        if self._buf is None:
+            self._iter = iter_fastx(path)
+        self._path = path
 
     def counts(self) -> int:
         return self._count
 
     def read_chunk(self, n: int = 0) -> Tuple[List[str], List[str]]:
         """Read up to n records (all if n == 0). Returns (names, seqs)."""
+        if self._buf is not None:
+            from psi_tpu import native
+
+            max_records = n if n else 1 << 62
+            remaining = memoryview(self._buf)[self._pos:]
+            if not len(remaining):
+                return [], []
+            cap = min(max_records, max(1, len(remaining) // 4))
+            out = native.fastq_scan(bytes(remaining), cap)
+            names, seqs, consumed = out
+            self._pos += consumed
+            self._count += len(names)
+            return names, seqs
         names: List[str] = []
         seqs: List[str] = []
         for name, seq in self._iter:
@@ -78,6 +108,12 @@ class FastxStream:
             if n and len(names) == n:
                 break
         return names, seqs
+
+
+def _open_binary(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
 
 
 def read_fastq(path: str, n: int = 0) -> Tuple[List[str], List[str]]:

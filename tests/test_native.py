@@ -1,0 +1,82 @@
+"""Native host-kernel tests (SA-IS, BWT, FASTQ scanner)."""
+
+import numpy as np
+import pytest
+
+from psi_tpu import native
+from psi_tpu.fmindex import _suffix_array_doubling
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sais_matches_doubling(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(1, 3000)
+    sigma = rng.choice([2, 4, 6, 256])
+    codes = rng.randint(0, sigma, size=n).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.sais(codes), _suffix_array_doubling(codes)
+    )
+
+
+@pytest.mark.parametrize(
+    "codes", [[0], [0, 0, 0], [5] * 100, [0, 1] * 50, [255, 0, 255]]
+)
+def test_sais_degenerate(codes):
+    codes = np.array(codes, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        native.sais(codes), _suffix_array_doubling(codes)
+    )
+
+
+def test_bwt():
+    codes = np.random.RandomState(1).randint(0, 6, size=999).astype(np.uint8)
+    sa = native.sais(codes)
+    bwt = native.bwt_from_sa(codes, sa)
+    np.testing.assert_array_equal(bwt, codes[(sa - 1) % len(codes)])
+
+
+def test_fastq_scan(data_dir):
+    buf = (data_dir / "small" / "reads_n10l10e0i0.fastq").read_bytes()
+    names, seqs, consumed = native.fastq_scan(buf, 100)
+    assert len(names) == 10
+    assert consumed == len(buf)
+    assert all(len(s) == 10 for s in seqs)
+    assert names[0] == "read0"
+
+    # chunked: 3 at a time
+    names3, seqs3, c3 = native.fastq_scan(buf, 3)
+    assert names3 == names[:3]
+    names_rest, _, _ = native.fastq_scan(buf[c3:], 100)
+    assert names_rest == names[3:]
+
+
+def test_fastx_stream_native_path(data_dir):
+    from psi_tpu.io.fastq import FastxStream
+
+    s = FastxStream(str(data_dir / "small" / "reads_n10l10e0i0.fastq"))
+    n1, q1 = s.read_chunk(4)
+    assert len(n1) == 4 and s.counts() == 4
+    n2, q2 = s.read_chunk(0)
+    assert len(n2) == 6 and s.counts() == 10
+    n3, _ = s.read_chunk(0)
+    assert n3 == []
+
+
+def test_fm_build_uses_native():
+    from psi_tpu.fmindex import FMIndex
+
+    rng = np.random.RandomState(3)
+    strings = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(3)]
+    fm = FMIndex.build_from_strings(strings)
+    for pat in ["AC", "GT", strings[0][:10]]:
+        brute = sum(
+            1
+            for s in strings
+            for i in range(len(s) - len(pat) + 1)
+            if s[i: i + len(pat)] == pat
+        )
+        assert fm.count(pat) == brute
