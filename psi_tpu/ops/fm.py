@@ -11,7 +11,7 @@ intra-block count over the BWT — executed for 10^4..10^6 queries at once.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,27 +21,42 @@ from psi_tpu.fmindex import BLOCK, FMIndex, SIGMA
 
 
 class FMArrays(NamedTuple):
-    """Device-resident FM index."""
+    """Device-resident FM index.
 
-    bwt_blocks: jax.Array   # uint8 [nblocks, BLOCK] (padded with 255)
+    Two rank layouts:
+      * checkpointed (compact): occ rows every BLOCK positions + BWT
+        blocks for the intra-block count (~1.3 bytes/bp);
+      * dense (fast): a full per-position occ table for the 4 query
+        symbols — one gather per rank, no intra-block pass (16 bytes/bp;
+        the TPU trade: spend HBM to kill the latency-bound inner loop).
+    """
+
+    bwt_blocks: jax.Array   # uint8 [nblocks+1, BLOCK] (padded with 255)
     occ: jax.Array          # int32 [nblocks+1, SIGMA]
     C: jax.Array            # int32 [SIGMA+1]
     sa: jax.Array           # int32 [n]
     n: int                  # text length (static)
+    occ_dense: Optional[jax.Array] = None  # int32 [n+1, 4] (ACGT only)
 
 
-def to_device(fm: FMIndex) -> FMArrays:
+def to_device(fm: FMIndex, dense_occ: bool = False) -> FMArrays:
     n = fm.size
     nblocks = (n + BLOCK - 1) // BLOCK
     # one spare block: position n (range end) may index block nblocks
     bwt_pad = np.full((nblocks + 1) * BLOCK, 255, dtype=np.uint8)
     bwt_pad[:n] = fm.bwt
+    occ_dense = None
+    if dense_occ:
+        dense = np.zeros((n + 1, 4), dtype=np.int32)
+        for c in range(1, 5):  # ACGT codes
+            dense[1:, c - 1] = np.cumsum(fm.bwt == c, dtype=np.int32)
     return FMArrays(
         bwt_blocks=jnp.asarray(bwt_pad.reshape(nblocks + 1, BLOCK)),
         occ=jnp.asarray(fm.occ.astype(np.int32)),
         C=jnp.asarray(fm.C.astype(np.int32)),
         sa=jnp.asarray(fm.sa.astype(np.int32)),
         n=n,
+        occ_dense=jnp.asarray(dense) if dense_occ else None,
     )
 
 
@@ -66,6 +81,9 @@ def backward_search_codes(
     index (ref: reversed path sequences, seed_finder.hpp:779;
     forward-order go_down per char, index_iter.hpp:838-841).
 
+    Uses the dense occ table when present (one gather per rank),
+    otherwise the checkpointed layout.
+
     Returns (lo, hi) int32 [N]; empty ranges have lo == hi.
     """
     n = arrays.n
@@ -73,11 +91,18 @@ def backward_search_codes(
     lo0 = jnp.zeros(N, dtype=jnp.int32)
     hi0 = jnp.full(N, n, dtype=jnp.int32)
 
+    if arrays.occ_dense is not None:
+        def rank(c, i):
+            return arrays.occ_dense[i, c - 1]
+    else:
+        def rank(c, i):
+            return _rank(arrays, c, i)
+
     def step(state, c):
         lo, hi = state
         alive = lo < hi
-        new_lo = arrays.C[c] + _rank(arrays, c, lo)
-        new_hi = arrays.C[c] + _rank(arrays, c, hi)
+        new_lo = arrays.C[c] + rank(c, lo)
+        new_hi = arrays.C[c] + rank(c, hi)
         lo = jnp.where(alive, new_lo, lo)
         hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
         return (lo, hi), None

@@ -380,11 +380,16 @@ class SeedFinder:
             return SeedsIndex(seeds)
 
     # --- device array caches ------------------------------------------------
+    #: dense per-position occ table budget (bytes); texts whose dense
+    #: table fits use the gather-only rank fast path
+    DENSE_OCC_BUDGET = int(os.environ.get("PSI_DENSE_OCC_BUDGET", 2 << 30))
+
     def _get_fm_arrays(self):
         if self._fm_arrays is None and self.pindex.fm is not None:
             from psi_tpu.ops import fm as fm_ops
 
-            self._fm_arrays = fm_ops.to_device(self.pindex.fm)
+            dense = self.pindex.fm.size * 16 <= self.DENSE_OCC_BUDGET
+            self._fm_arrays = fm_ops.to_device(self.pindex.fm, dense_occ=dense)
         return self._fm_arrays
 
     def _get_graph_arrays(self):
@@ -546,6 +551,91 @@ class SeedFinder:
                 continue
             lo, hi = nlo, nhi
             plen += 1
+
+    def all_exact_matches(
+        self, reads: Records, callback: Callable[[Seed], None]
+    ):
+        """Whole-read exact matching over the path index
+        (ref: all_exact_matches, index_iter.hpp:928-948; per-read
+        backward search, occurrences mapped to graph loci,
+        match_len = read length, gocc left 0 as in the reference)."""
+        fm = self.pindex.fm
+        if fm is None or fm.size == 0:
+            return
+        pm = self._path_map
+        for rid in range(len(reads)):
+            seq = reads.seqs[rid]
+            if not seq or "N" in seq:
+                continue
+            lo, hi = fm.backward_search(seq[::-1])
+            if lo >= hi:
+                continue
+            L = len(seq)
+            occ = fm.locate(lo, hi)
+            sid, q = fm.text_pos_to_string(np.asarray(occ))
+            fwd = pm["lengths"][sid] - q - L
+            gpos = pm["seq_off"][sid] + fwd
+            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+            for nid, noff in zip(
+                pm["ids"][entry], gpos - pm["starts"][entry] + pm["base"][entry]
+            ):
+                callback(
+                    Seed(int(nid), int(noff), reads.position_to_id(rid), 0, L, 0)
+                )
+
+    def nof_uncovered_kmers(self) -> int:
+        """Audit: count k-mer loci not covered by the path set, over the
+        nodes that carry starting loci (exact mirror of
+        ref: seed_finder.hpp:1587-1635)."""
+        if not self.starting_loci:
+            return 0
+        with self.stats.timeit_ts("count-uncovered-kmer"):
+            g = self.graph
+            k = self.seed_len
+            pathset = self.pindex.get_paths_set()
+            bt = BacktrackerIter(g)
+            trav_path = Path(g)
+            uncovered = 0
+            prev_id = 0
+            for locus in self.starting_loci:
+                if prev_id == locus.node_id():
+                    continue
+                prev_id = locus.node_id()
+                label_len = g.node_length(locus.node_id())
+                bt.reset(locus.node_id())
+                while not bt.at_end():
+                    offset = label_len
+                    extend_to_k(trav_path, bt, offset - 1 + k)
+                    current_path = None
+                    if trav_path.get_sequence_len() >= k:
+                        current_path = Path(
+                            g, list(trav_path.get_nodes()),
+                            trav_path.left, trav_path.right,
+                        )
+                    while (
+                        current_path is not None
+                        and current_path.get_sequence_len() != 0
+                        and not pathset.covered_by(current_path.get_nodes())
+                    ):
+                        trimmed_len = (
+                            current_path.get_sequence_len()
+                            - g.node_length(current_path.get_nodes()[-1])
+                        )
+                        if trimmed_len <= k - 1:
+                            offset = 0
+                            break
+                        offset = trimmed_len - k + 1
+                        trim_back(current_path)
+                    uncovered += label_len - offset
+                    ub = trav_path.get_sequence_len() + 1 - k
+                    if offset < ub < label_len:
+                        uncovered -= ub - offset
+                    bt.backtrack()
+                    trim_back(
+                        trav_path, bt.value if bt.value is not None else 0
+                    )
+                trav_path.clear()
+            return uncovered
 
     # === seeds off paths (traversal route) ==================================
     def seeds_off_paths(
