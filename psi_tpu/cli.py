@@ -174,17 +174,6 @@ def main(argv: Optional[list] = None) -> int:
     covered_reads = set()
     out = open(args.output, "wb")
 
-    def write_callback(hit):
-        nonlocal found
-        found += 1
-        out.write(
-            struct.pack(
-                "<qqqq", hit.node_id, hit.node_offset, hit.read_id,
-                hit.read_offset,
-            )
-        )
-        covered_reads.add(hit.read_id)
-
     log.info("Finding seeds...")
     stream = FastxStream(args.fastq)
     t_find = time.monotonic()
@@ -201,7 +190,16 @@ def main(argv: Optional[list] = None) -> int:
         seeds = finder.get_seeds(chunk, args.distance)
         index = finder.index_reads(seeds)
         log.info("Seeding done (%d seeds).", len(seeds))
-        finder.seeds_all(seeds, index, write_callback)
+        hits = finder.seeds_all_arrays(seeds, index)
+        found += len(hits)
+        covered_reads.update(np.unique(hits["read_id"]).tolist())
+        # bulk binary write of (node_id, node_offset, read_id, read_offset)
+        cols = np.empty((len(hits), 4), dtype="<i8")
+        cols[:, 0] = hits["node_id"]
+        cols[:, 1] = hits["node_offset"]
+        cols[:, 2] = hits["read_id"]
+        cols[:, 3] = hits["read_offset"]
+        cols.tofile(out)
         if args.chunk_size == 0:
             break
     out.close()

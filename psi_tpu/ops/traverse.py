@@ -247,14 +247,29 @@ def traverse(
         n_used = int(n_used)
         break
 
-    out = []
-    for i in range(n_used):
-        li = int(locus_idx[i])
-        spos = loci[li]
-        gocc = int(hi[i] - lo[i])
-        for sid in index.seed_ids[lo[i]: hi[i]]:
-            out.append((spos.node_id(), spos.offset(), int(sid), gocc, k))
-    return out
+    cols = traverse_columnar_from_states(
+        index, loci, locus_idx[:n_used], lo[:n_used], hi[:n_used], k
+    )
+    return list(zip(*(c.tolist() for c in cols))) if len(cols[0]) else []
+
+
+def traverse_columnar_from_states(index, loci, locus_idx, lo, hi, k):
+    """Vectorized hit expansion: (node, off, seed_id, gocc, len) columns."""
+    widths = (hi - lo).astype(np.int64)
+    total = int(widths.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, z
+    loci_nodes = np.array([l.node_id() for l in loci], dtype=np.int64)
+    loci_offs = np.array([l.offset() for l in loci], dtype=np.int64)
+    rep = np.repeat(np.arange(len(lo)), widths)
+    within = np.arange(total) - np.repeat(np.cumsum(widths) - widths, widths)
+    seed_sel = index.seed_ids[lo.astype(np.int64)[rep] + within]
+    nodes = loci_nodes[locus_idx[rep]]
+    offs = loci_offs[locus_idx[rep]]
+    goccs = widths[rep]
+    lens = np.full(total, k, dtype=np.int64)
+    return nodes, offs, seed_sel, goccs, lens
 
 
 def traverse_host(

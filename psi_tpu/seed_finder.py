@@ -19,7 +19,7 @@ from psi_tpu.graphiter import BacktrackerIter, BFSIter, HaplotyperIter
 from psi_tpu.pathset import PathIndex, get_uniq_haplotype
 from psi_tpu.pathutil import Path, trim_back
 from psi_tpu.records import Records, SeedSet, SeedsIndex, seeding
-from psi_tpu.seed import Seed
+from psi_tpu.seed import SEED_DTYPE, Seed
 from psi_tpu.stats import NoStats, ProgressEnum, SeedFinderStats
 from psi_tpu.graphiter import extend_to_k
 
@@ -422,9 +422,16 @@ class SeedFinder:
         tstats = self.stats.get_this_thread_stats()
         tstats.set_progress(ProgressEnum.FIND_ON_PATHS)
         with self.stats.timeit_ts("seeds-on-paths"):
-            self._seeds_on_paths_impl(seeds, index, callback)
+            arr = self._seeds_on_paths_impl(seeds, index)
+            if arr is not None:
+                _emit_rows(arr, callback)
 
-    def _seeds_on_paths_impl(self, seeds, index, callback):
+    def seeds_on_paths_arrays(self, seeds, index):
+        """Columnar variant: structured SEED_DTYPE array (bulk path)."""
+        with self.stats.timeit_ts("seeds-on-paths"):
+            return self._seeds_on_paths_impl(seeds, index)
+
+    def _seeds_on_paths_impl(self, seeds, index):
         import jax.numpy as jnp
 
         from psi_tpu.ops import fm as fm_ops
@@ -432,7 +439,7 @@ class SeedFinder:
         tstats = self.stats.get_this_thread_stats()
         k = self.seed_len
         if index.size == 0:
-            return
+            return None
         # distinct k-mers and their seed-range boundaries in sorted order
         uniq_keys, uniq_start = np.unique(index.sorted_keys, return_index=True)
         uniq_end = np.append(uniq_start[1:], index.size)
@@ -454,7 +461,7 @@ class SeedFinder:
             tstats.inc_gocc_skips()
 
         if not emit.any():
-            return
+            return None
         widths = counts[emit]
         maxw = int(widths.max())
         pos, mask = fm_ops.locate_ranges(
@@ -466,30 +473,44 @@ class SeedFinder:
         fm = self.pindex.fm
         pm = self._path_map
         emit_idx = np.nonzero(emit)[0]
-        for row, ui in enumerate(emit_idx):
-            occ_pos = pos[row][mask[row]]
-            # map reversed-text positions -> (path, fwd start) -> (node, off)
-            sid, q = fm.text_pos_to_string(occ_pos)
-            fwd = pm["lengths"][sid] - q - k
-            gpos = pm["seq_off"][sid] + fwd
-            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
-            node_ids = pm["ids"][entry]
-            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
-            gocc = int(counts[ui])
-            s0, s1 = uniq_start[ui], uniq_end[ui]
-            seed_ids = index.seed_ids[s0:s1]
-            for nid, noff in zip(node_ids, node_offs):
-                for sid2 in seed_ids:
-                    callback(
-                        Seed(
-                            int(nid),
-                            int(noff),
-                            seeds.read_id(int(sid2)),
-                            seeds.read_offset(int(sid2)),
-                            k,
-                            gocc,
-                        )
-                    )
+
+        # fully vectorized emission: flatten all (path occurrence x seed)
+        # pairs across the emitted k-mers in one pass
+        occ_rows, occ_cols = np.nonzero(mask)         # per-occurrence
+        occ_pos = pos[occ_rows, occ_cols]
+        ui_per_occ = emit_idx[occ_rows]
+        sid, q = fm.text_pos_to_string(occ_pos)
+        fwd = pm["lengths"][sid] - q - k
+        gpos = pm["seq_off"][sid] + fwd
+        entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+        node_ids = pm["ids"][entry]
+        node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+
+        # cross product: repeat each occurrence by its k-mer's seed count
+        n_seeds_per_ui = (uniq_end - uniq_start)[ui_per_occ]
+        rep_nodes = np.repeat(node_ids, n_seeds_per_ui)
+        rep_offs = np.repeat(node_offs, n_seeds_per_ui)
+        rep_gocc = np.repeat(counts[ui_per_occ], n_seeds_per_ui)
+        # seed ids: for each occurrence, the contiguous run of its k-mer
+        starts_rep = np.repeat(uniq_start[ui_per_occ], n_seeds_per_ui)
+        within = (
+            np.arange(len(rep_nodes))
+            - np.repeat(
+                np.cumsum(n_seeds_per_ui) - n_seeds_per_ui, n_seeds_per_ui
+            )
+        )
+        seed_sel = index.seed_ids[starts_rep + within]
+        read_ids = seeds.rec_offset + seeds.seedmap[seed_sel, 0]
+        read_offs = seeds.seedmap[seed_sel, 1]
+
+        out = np.empty(len(rep_nodes), dtype=SEED_DTYPE)
+        out["node_id"] = rep_nodes
+        out["node_offset"] = rep_offs
+        out["read_id"] = read_ids
+        out["read_offset"] = read_offs
+        out["match_len"] = k
+        out["gocc"] = rep_gocc
+        return out
 
     # === MEM query path (library API, ref: seed_finder.hpp:1459-1479) ======
     def seeds_on_paths_seq(
@@ -677,6 +698,66 @@ class SeedFinder:
                 )
             tstats.set_locus_idx(len(self.starting_loci))
 
+    def seeds_off_paths_arrays(self, seeds: SeedSet, index: SeedsIndex):
+        """Columnar off-path hits (structured SEED_DTYPE array)."""
+        with self.stats.timeit_ts("seeds-off-path"):
+            if not self.starting_loci or index.size == 0:
+                return None
+            from psi_tpu.ops import traverse as trav
+
+            g = self._get_graph_arrays()
+            sa = trav.seeds_to_device(index)
+            import jax.numpy as jnp
+
+            n = len(self.starting_loci)
+            cap = max(1 << 15, 1 << (n - 1).bit_length())
+            while True:
+                start_nodes = np.zeros(cap, dtype=np.int32)
+                start_offs = np.zeros(cap, dtype=np.int32)
+                for i, l in enumerate(self.starting_loci):
+                    start_nodes[i] = l.node_id()
+                    start_offs[i] = l.offset()
+                locus_idx, lo, hi, n_used, overflow = trav.traverse_device(
+                    g, sa,
+                    jnp.asarray(start_nodes), jnp.asarray(start_offs),
+                    jnp.asarray(n, dtype=jnp.int32),
+                    self.seed_len, cap,
+                )
+                if bool(overflow):
+                    cap *= 2
+                    continue
+                break
+            n_used = int(n_used)
+            nodes, offs, seed_sel, goccs, lens = (
+                trav.traverse_columnar_from_states(
+                    index, self.starting_loci,
+                    np.asarray(locus_idx)[:n_used],
+                    np.asarray(lo)[:n_used],
+                    np.asarray(hi)[:n_used],
+                    self.seed_len,
+                )
+            )
+            out = np.empty(len(nodes), dtype=SEED_DTYPE)
+            out["node_id"] = nodes
+            out["node_offset"] = offs
+            out["read_id"] = seeds.rec_offset + seeds.seedmap[seed_sel, 0]
+            out["read_offset"] = seeds.seedmap[seed_sel, 1]
+            out["match_len"] = lens
+            out["gocc"] = goccs
+            return out
+
+    def seeds_all_arrays(self, seeds: SeedSet, index: SeedsIndex):
+        """Both routes, columnar; the bulk path used by the CLI."""
+        parts = [
+            self.seeds_on_paths_arrays(seeds, index),
+            self.seeds_off_paths_arrays(seeds, index),
+        ]
+        parts = [p for p in parts if p is not None and len(p)]
+        self.stats.get_this_thread_stats().inc_chunks_done()
+        if not parts:
+            return np.zeros(0, dtype=SEED_DTYPE)
+        return np.concatenate(parts)
+
     # === combined ===========================================================
     def seeds_all(
         self,
@@ -689,3 +770,18 @@ class SeedFinder:
         self.seeds_on_paths(seeds, index, callback)
         self.seeds_off_paths(seeds, index, callback, device=device)
         self.stats.get_this_thread_stats().inc_chunks_done()
+
+
+def _emit_rows(arr: np.ndarray, callback: Callable[[Seed], None]) -> None:
+    """Feed a structured SEED_DTYPE array through a per-hit callback."""
+    for row in arr:
+        callback(
+            Seed(
+                int(row["node_id"]),
+                int(row["node_offset"]),
+                int(row["read_id"]),
+                int(row["read_offset"]),
+                int(row["match_len"]),
+                int(row["gocc"]),
+            )
+        )
