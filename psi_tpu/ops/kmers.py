@@ -25,6 +25,26 @@ for i, ch in enumerate("ACGT"):
 MAX_PACK_K = 32
 
 
+def increment_kmer(codes: np.ndarray, pos: int = None) -> int:
+    """Lexicographic k-mer successor with carry, in place over a 0..3
+    code array (ref: increment_kmer, include/psi/sequence.hpp:1639-1674).
+
+    Increments the character at `pos` (default: last), resetting higher
+    positions; returns the smallest modified position, or -1 when the
+    k-mer space is exhausted.
+    """
+    k = len(codes)
+    if pos is None:
+        pos = k - 1
+    codes[pos + 1:] = 0
+    while pos >= 0 and codes[pos] == 3:
+        codes[pos] = 0
+        pos -= 1
+    if pos >= 0:
+        codes[pos] += 1
+    return pos
+
+
 def seq_to_codes(seq: str | bytes) -> np.ndarray:
     """ASCII -> 0..3 codes, -1 for N/unknown."""
     if isinstance(seq, str):
@@ -61,10 +81,14 @@ def kmer_char(keys: np.ndarray, pos: int, k: int) -> np.ndarray:
     return ((keys >> shift) & np.uint64(3)).astype(np.int32)
 
 
-def extract_kmers(seqs, k: int, step: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def extract_kmers(
+    seqs, k: int, step: int, greedy_tail: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Seeding: all k-mers with `step` spacing from each sequence
     (ref seeding() semantics: include/psi/sequence.hpp:1688-1718 — windows
-    start at 0,step,... while start + k <= len).
+    start at 0,step,... while start + k <= len). With `greedy_tail` a
+    final window at len-k is added when the length is not divisible
+    (GreedyNonOverlapping, ref: sequence.hpp:1796-1816).
 
     Returns (keys uint64[S], valid bool[S], seedmap int64[S, 2]) where
     seedmap rows are (read_index, read_offset) — the SeedMap equivalent
@@ -79,6 +103,8 @@ def extract_kmers(seqs, k: int, step: int) -> Tuple[np.ndarray, np.ndarray, np.n
         if L < k:
             continue
         starts = np.arange(0, L - k + 1, step, dtype=np.int64)
+        if greedy_tail and len(starts) and starts[-1] != L - k:
+            starts = np.append(starts, L - k)
         win = codes[starts[:, None] + np.arange(k)[None, :]]
         kk, vv = pack_kmers(win)
         keys_parts.append(kk)

@@ -1,0 +1,190 @@
+"""Multi-host runtime + component-sharded path index.
+
+Two scaling axes (SURVEY.md §2.3 mapping):
+  * data  — read/k-mer batches (embarrassingly parallel);
+  * shard — the path index partitioned by graph *component* (the
+    reference's per-component block-diagonal partitioning,
+    ref: seed_finder.hpp:1178-1235, reused as the index-sharding axis).
+
+Sharded counting: each shard holds an FM index over the path sequences
+of its components; a query batch is broadcast, each shard counts its own
+occurrences, and the global genome-occurrence count (gocc) is the psum
+over shards — identical to the single-index count because components are
+disjoint. Locate stays shard-local; hit sets merge by allgather
+(host-side fetch here; ICI collective on a real slice).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from psi_tpu.fmindex import BLOCK, FMIndex
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Bring up the JAX multi-host runtime (N-host pod slice). No-op when
+    unconfigured (single host)."""
+    if coordinator_address is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+class ShardedFMArrays(NamedTuple):
+    """Stacked per-shard FM arrays, padded to a common size and sharded
+    on the leading (shard) axis."""
+
+    occ_dense: jax.Array  # int32 [S, n_pad+1, 4]
+    C: jax.Array          # int32 [S, SIGMA+1]
+    sa: jax.Array         # int32 [S, n_pad]
+    sizes: jax.Array      # int32 [S] true text sizes
+    n_pad: int
+
+
+def build_sharded_index(
+    fms: List[FMIndex], mesh: Mesh, axis: str = "shard"
+) -> ShardedFMArrays:
+    """Stack per-shard FM indexes (one per component group) and place
+    them sharded over the mesh axis."""
+    n_shards = mesh.shape[axis]
+    assert len(fms) == n_shards, (len(fms), n_shards)
+    n_pad = max(fm.size for fm in fms)
+    S = n_shards
+    occ = np.zeros((S, n_pad + 1, 4), dtype=np.int32)
+    C = np.zeros((S, 7), dtype=np.int32)
+    sa = np.zeros((S, n_pad), dtype=np.int32)
+    sizes = np.zeros(S, dtype=np.int32)
+    for s, fm in enumerate(fms):
+        n = fm.size
+        sizes[s] = n
+        for c in range(1, 5):
+            occ[s, 1: n + 1, c - 1] = np.cumsum(fm.bwt == c, dtype=np.int32)
+        occ[s, n + 1:] = occ[s, n]
+        C[s, : len(fm.C)] = fm.C
+        sa[s, :n] = fm.sa
+    sharding = NamedSharding(mesh, P(axis))
+    return ShardedFMArrays(
+        occ_dense=jax.device_put(jnp.asarray(occ), sharding),
+        C=jax.device_put(jnp.asarray(C), sharding),
+        sa=jax.device_put(jnp.asarray(sa), sharding),
+        sizes=jax.device_put(jnp.asarray(sizes), sharding),
+        n_pad=n_pad,
+    )
+
+
+def sharded_count(
+    mesh: Mesh, arrays: ShardedFMArrays, codes: np.ndarray, axis: str = "shard"
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Count a query batch against every shard.
+
+    Returns (total_counts [N], per-shard lo [S, N], per-shard hi [S, N]);
+    total counts equal the unsharded gocc (components are disjoint).
+    """
+    shard_map = jax.shard_map
+
+    codes_j = jnp.asarray(codes)
+
+    def kernel(occ, C, sizes, codes):
+        # occ: [1, n_pad+1, 4] local shard slice
+        occ = occ[0]
+        C = C[0]
+        n = sizes[0]
+        N = codes.shape[0]
+        hi0 = jnp.full(N, n, dtype=jnp.int32).astype(jnp.int32)
+        lo0 = jnp.zeros_like(hi0)  # varying over the shard axis, like hi0
+
+        def step(state, c):
+            lo, hi = state
+            alive = lo < hi
+            new_lo = C[c] + occ[lo, c - 1]
+            new_hi = C[c] + occ[hi, c - 1]
+            lo = jnp.where(alive, new_lo, lo)
+            hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
+            return (lo, hi), None
+
+        (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
+        total = jax.lax.psum(hi - lo, axis)
+        return total[None], lo[None], hi[None]
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    )
+    total, lo, hi = fn(arrays.occ_dense, arrays.C, arrays.sizes, codes_j)
+    # every shard holds the same psum'd total; take shard 0's copy
+    return np.asarray(total)[0], np.asarray(lo), np.asarray(hi)
+
+
+def sharded_locate(
+    arrays: ShardedFMArrays, lo: np.ndarray, hi: np.ndarray, max_width: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather text positions per shard for the given ranges.
+
+    Returns (shard_idx, query_idx, positions) flattened across shards —
+    the host-side allgather merge of per-shard hit sets."""
+    sa = np.asarray(arrays.sa)
+    shard_l, query_l, pos_l = [], [], []
+    for s in range(sa.shape[0]):
+        widths = hi[s] - lo[s]
+        sel = np.nonzero(widths > 0)[0]
+        for qi in sel:
+            p = sa[s, lo[s, qi]: hi[s, qi]]
+            shard_l.append(np.full(len(p), s, dtype=np.int64))
+            query_l.append(np.full(len(p), qi, dtype=np.int64))
+            pos_l.append(p.astype(np.int64))
+    if not pos_l:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return (
+        np.concatenate(shard_l),
+        np.concatenate(query_l),
+        np.concatenate(pos_l),
+    )
+
+
+def partition_paths_by_component(
+    graph, pindex, n_shards: int
+) -> Tuple[List[List[int]], List[int]]:
+    """Assign indexed paths to shards by their component, balancing total
+    sequence length. Returns (per-shard path-index lists, component of
+    each path)."""
+    ranges = graph.component_ranges()
+
+    def comp_of(path) -> int:
+        first = path.get_nodes()[0]
+        rank = graph.id_to_rank(first)
+        for ci, (lo_r, hi_r) in enumerate(ranges):
+            if lo_r <= rank < hi_r:
+                return ci
+        return 0
+
+    pset = pindex.get_paths_set()
+    comp = [comp_of(p) for p in pset]
+    comp_len = {}
+    for p, c in zip(pset, comp):
+        comp_len[c] = comp_len.get(c, 0) + p.get_sequence_len()
+    # greedy bin packing of components over shards
+    shard_load = [0] * n_shards
+    comp_shard = {}
+    for c in sorted(comp_len, key=comp_len.get, reverse=True):
+        s = int(np.argmin(shard_load))
+        comp_shard[c] = s
+        shard_load[s] += comp_len[c]
+    per_shard = [[] for _ in range(n_shards)]
+    for i, c in enumerate(comp):
+        per_shard[comp_shard[c]].append(i)
+    return per_shard, comp
