@@ -273,18 +273,35 @@ def traverse_columnar_from_states(index, loci, locus_idx, lo, hi, k):
 
 
 def traverse_host(
-    graph: Graph, index: SeedsIndex, loci: List[Position], k: int
+    graph: Graph,
+    index: SeedsIndex,
+    loci: List[Position],
+    k: int,
+    max_mismatches: int = 0,
 ) -> List[Tuple[int, int, int, int, int]]:
     """Host mirror of the reference BFS traverser automaton
-    (ref: traverser_bfs.hpp:72-164) over the SeedsIndex trie.
+    (ref: traverser_bfs.hpp:72-164) over the SeedsIndex trie, extended
+    with working mismatch-tolerant matching (the reference *declares*
+    ApproxMatching, ref: traverser_base.hpp:98-101, but implements no
+    approx traverser — here a state forks per substituted read character,
+    consuming mismatch budget; each (walk, seed) pair is reached by
+    exactly one leaf, so no duplicate hits arise).
 
     Returns raw hits (node_id, node_offset, seed_id, gocc, match_len);
-    read mapping is applied by the caller.
+    read mapping is applied by the caller. gocc of a hit is the match
+    count of its leaf state (exact-matching: all equal seeds).
     """
     out = []
-    # state: (start (nid, off), cur (nid, off), depth, lo, hi)
+    # state: (start (nid, off), cur (nid, off), depth, lo, hi, budget)
     states = [
-        ((l.node_id(), l.offset()), (l.node_id(), l.offset()), 0, 0, index.size)
+        (
+            (l.node_id(), l.offset()),
+            (l.node_id(), l.offset()),
+            0,
+            0,
+            index.size,
+            max_mismatches,
+        )
         for l in loci
     ]
     labels = {}  # node -> codes
@@ -304,14 +321,29 @@ def traverse_host(
 
     while states:
         next_states = []
-        for (spos, (nid, off), depth, lo, hi) in states:
+        for (spos, (nid, off), depth, lo, hi, budget) in states:
             codes = node_codes(nid)
-            # consume chars until node end / depth k / death
+            # consume chars until node end / depth k / death / fork
             dead = False
+            forked = False
             while depth < k and off < len(codes):
                 c = int(codes[off])
                 if c == 4:
                     dead = True
+                    break
+                if budget > 0:
+                    # fork per read character; mismatches consume budget
+                    for cprime in range(4):
+                        nlo, nhi = index.go_down(lo, hi, depth, cprime)
+                        if nlo >= nhi:
+                            continue
+                        nbudget = budget - (cprime != c)
+                        if nbudget < 0:
+                            continue
+                        next_states.append(
+                            (spos, (nid, off + 1), depth + 1, nlo, nhi, nbudget)
+                        )
+                    forked = True
                     break
                 lo, hi = index.go_down(lo, hi, depth, c)
                 if lo >= hi:
@@ -319,7 +351,7 @@ def traverse_host(
                     break
                 depth += 1
                 off += 1
-            if dead:
+            if dead or forked:
                 continue
             if depth == k:
                 gocc = hi - lo
@@ -328,6 +360,6 @@ def traverse_host(
                 continue
             # node end with depth < k: fork per out-edge
             for nb in graph.out_neighbors(nid):
-                next_states.append((spos, (int(nb), 0), depth, lo, hi))
+                next_states.append((spos, (int(nb), 0), depth, lo, hi, budget))
         states = next_states
     return out

@@ -34,6 +34,7 @@ class SeedFinder:
         seed_len: int,
         gocc_threshold: int = 0,
         max_mem: int = 0,
+        seed_mismatches: int = 0,
         stats: Optional[SeedFinderStats] = None,
         rng_seed: int = 0,
     ):
@@ -41,6 +42,9 @@ class SeedFinder:
         self.seed_len = seed_len
         self.gocc_threshold = gocc_threshold
         self.max_mem = max_mem
+        # working mismatch-tolerant traversal (the reference declares but
+        # never implements ApproxMatching; ref: traverser_base.hpp:98-101)
+        self.seed_mismatches = seed_mismatches
         self.stats = stats if stats is not None else NoStats()
         self.pindex = PathIndex(graph)
         self.starting_loci: List[Position] = []
@@ -675,7 +679,7 @@ class SeedFinder:
                 return
             from psi_tpu.ops import traverse as trav
 
-            if device:
+            if device and self.seed_mismatches == 0:
                 g = self._get_graph_arrays()
                 sa = trav.seeds_to_device(index)
                 raw = trav.traverse(
@@ -683,7 +687,8 @@ class SeedFinder:
                 )
             else:
                 raw = trav.traverse_host(
-                    self.graph, index, self.starting_loci, self.seed_len
+                    self.graph, index, self.starting_loci, self.seed_len,
+                    max_mismatches=self.seed_mismatches,
                 )
             for nid, noff, sid, gocc, L in raw:
                 callback(
