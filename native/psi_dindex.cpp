@@ -1,0 +1,132 @@
+// psi_dindex — native distance-index construction.
+//
+// Bounded-horizon interval DP per source node (the heavy build step the
+// reference delegates to DiVerG/Kokkos; ref usage:
+// include/psi/seed_finder.hpp:1193-1265). For every source v it
+// accumulates, per reachable node u, the set of feasible node-hop
+// distances D0 = 1 + sum(len(intermediates)) as sorted disjoint
+// intervals capped at dmax. OpenMP-parallel over sources.
+//
+// C ABI (opaque handle, two-phase export for ctypes):
+//   psi_dindex_build / psi_dindex_nnz / psi_dindex_export / psi_dindex_free
+
+#include <algorithm>
+#include <cstdint>
+#include <unordered_map>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct Interval {
+  int64_t lo, hi;
+};
+
+using Row = std::unordered_map<int64_t, std::vector<Interval>>;
+
+// merge-insert [a,b] into a sorted disjoint interval list (integer-set
+// semantics: adjacent intervals coalesce). Returns true if it grew.
+static bool insert_interval(std::vector<Interval>& ivs, int64_t a, int64_t b) {
+  for (const auto& iv : ivs)
+    if (iv.lo <= a && b <= iv.hi) return false;  // contained: no growth
+  std::vector<Interval> out;
+  out.reserve(ivs.size() + 1);
+  size_t i = 0;
+  while (i < ivs.size() && ivs[i].hi + 1 < a) out.push_back(ivs[i++]);
+  while (i < ivs.size() && ivs[i].lo <= b + 1) {
+    a = std::min(a, ivs[i].lo);
+    b = std::max(b, ivs[i].hi);
+    ++i;
+  }
+  out.push_back({a, b});
+  while (i < ivs.size()) out.push_back(ivs[i++]);
+  ivs.swap(out);
+  return true;
+}
+
+struct DIndex {
+  int64_t n;
+  std::vector<Row> rows;  // per source (0-based)
+  int64_t nnz = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* psi_dindex_build(int64_t n, const int64_t* node_len,
+                       const int64_t* indptr, const int64_t* indices,
+                       int64_t ncomp, const int64_t* comp_lo,
+                       const int64_t* comp_hi, int64_t dmax) {
+  auto* di = new DIndex();
+  di->n = n;
+  di->rows.resize(n);
+  (void)ncomp;  // BFS from v cannot leave v's component; sources are
+  (void)comp_lo;  // fully independent, so parallelism is per source
+  (void)comp_hi;
+
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t v = 1; v <= n; ++v) {
+    Row& dist = di->rows[v - 1];  // v is 1-based
+    // frontier of (node u, interval of D0 values reaching u's start)
+    std::vector<std::pair<int64_t, Interval>> frontier;
+    for (int64_t e = indptr[v - 1]; e < indptr[v]; ++e)
+      frontier.push_back({indices[e], {1, 1}});
+    while (!frontier.empty()) {
+      std::vector<std::pair<int64_t, Interval>> next;
+      for (auto& [u, iv] : frontier) {
+        if (iv.lo > dmax) continue;
+        int64_t b = std::min(iv.hi, dmax);
+        if (!insert_interval(dist[u], iv.lo, b)) continue;  // no growth
+        int64_t ulen = node_len[u - 1];
+        for (int64_t e = indptr[u - 1]; e < indptr[u]; ++e) {
+          int64_t na = iv.lo + ulen, nb = b + ulen;
+          if (na <= dmax) next.push_back({indices[e], {na, nb}});
+        }
+      }
+      frontier.swap(next);
+    }
+  }
+
+  int64_t nnz = 0;
+  for (auto& row : di->rows)
+    for (auto& [u, ivs] : row) nnz += (int64_t)ivs.size();
+  di->nnz = nnz;
+  return di;
+}
+
+int64_t psi_dindex_nnz(void* handle) {
+  return static_cast<DIndex*>(handle)->nnz;
+}
+
+// Export CSR-ish arrays: src_indptr int64[n+1], dst/lo/hi int64[nnz],
+// destinations sorted per source.
+void psi_dindex_export(void* handle, int64_t* src_indptr, int64_t* dst,
+                       int64_t* lo, int64_t* hi) {
+  auto* di = static_cast<DIndex*>(handle);
+  int64_t pos = 0;
+  src_indptr[0] = 0;
+  for (int64_t v = 0; v < di->n; ++v) {
+    auto& row = di->rows[v];
+    std::vector<int64_t> keys;
+    keys.reserve(row.size());
+    for (auto& [u, _] : row) keys.push_back(u);
+    std::sort(keys.begin(), keys.end());
+    for (int64_t u : keys) {
+      for (const auto& iv : row[u]) {
+        dst[pos] = u;
+        lo[pos] = iv.lo;
+        hi[pos] = iv.hi;
+        ++pos;
+      }
+    }
+    src_indptr[v + 1] = pos;
+  }
+}
+
+void psi_dindex_free(void* handle) { delete static_cast<DIndex*>(handle); }
+
+}  // extern "C"

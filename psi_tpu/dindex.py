@@ -68,7 +68,8 @@ class DistanceIndex:
     ) -> "DistanceIndex":
         """Bounded-horizon interval DP, per component
         (NOTE mirrors ref: graph assumed sorted with disjoint per-component
-        rank ranges, one reference path per component)."""
+        rank ranges, one reference path per component). Uses the native
+        OpenMP builder (native/psi_dindex.cpp) when available."""
         idx = DistanceIndex(dmin, dmax)
         if dmin == 0 or (dmax != 0 and dmax < dmin):
             return idx  # not constructible (ref: seed_finder.hpp:1198)
@@ -77,6 +78,23 @@ class DistanceIndex:
         idx.dmax = dmax
         n = graph.node_count
         idx.n_nodes = n
+
+        from psi_tpu import native
+
+        node_len_arr = np.diff(graph.label_offsets)
+        res = native.dindex_build(
+            node_len_arr, graph.out_indptr, graph.out_indices, dmax
+        )
+        if res is not None:
+            idx.src_indptr, idx.dst, idx.iv_lo, idx.iv_hi = res
+            return idx
+        return DistanceIndex._build_py(idx, graph, dmax, per_component)
+
+    @staticmethod
+    def _build_py(
+        idx: "DistanceIndex", graph: Graph, dmax: int, per_component: bool
+    ) -> "DistanceIndex":
+        n = graph.node_count
         ranges = (
             graph.component_ranges() if per_component and graph.get_path_count()
             else [(1, n + 1)]

@@ -56,6 +56,29 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.psi_fastq_scan.restype = ctypes.c_int64
+        lib.psi_dindex_build.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.psi_dindex_build.restype = ctypes.c_void_p
+        lib.psi_dindex_nnz.argtypes = [ctypes.c_void_p]
+        lib.psi_dindex_nnz.restype = ctypes.c_int64
+        lib.psi_dindex_export.argtypes = [ctypes.c_void_p, i64p, i64p, i64p, i64p]
+        lib.psi_dindex_export.restype = None
+        lib.psi_dindex_free.argtypes = [ctypes.c_void_p]
+        lib.psi_dindex_free.restype = None
+        lib.psi_uncovered_build.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.psi_uncovered_build.restype = ctypes.c_void_p
+        lib.psi_uncovered_count.argtypes = [ctypes.c_void_p]
+        lib.psi_uncovered_count.restype = ctypes.c_int64
+        lib.psi_uncovered_export.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.psi_uncovered_export.restype = None
+        lib.psi_uncovered_free.argtypes = [ctypes.c_void_p]
+        lib.psi_uncovered_free.restype = None
         _lib = lib
         return _lib
 
@@ -85,6 +108,61 @@ def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray) -> Optional[np.ndarray]:
     bwt = np.empty(len(text), dtype=np.uint8)
     lib.psi_bwt_from_sa(text, sa, len(text), bwt)
     return bwt
+
+
+def dindex_build(node_len, out_indptr, out_indices, dmax: int):
+    """Native distance-index build; returns (src_indptr, dst, lo, hi)
+    or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(node_len)
+    node_len = np.ascontiguousarray(node_len, dtype=np.int64)
+    indptr = np.ascontiguousarray(out_indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(out_indices, dtype=np.int64)
+    dummy = np.zeros(1, dtype=np.int64)
+    handle = lib.psi_dindex_build(
+        n, node_len, indptr, indices, 0, dummy, dummy, dmax
+    )
+    try:
+        nnz = lib.psi_dindex_nnz(handle)
+        src_indptr = np.empty(n + 1, dtype=np.int64)
+        dst = np.empty(nnz, dtype=np.int64)
+        lo = np.empty(nnz, dtype=np.int64)
+        hi = np.empty(nnz, dtype=np.int64)
+        lib.psi_dindex_export(handle, src_indptr, dst, lo, hi)
+    finally:
+        lib.psi_dindex_free(handle)
+    return src_indptr, dst, lo, hi
+
+
+def uncovered_loci(node_len, out_indptr, out_indices, paths_nodes,
+                   paths_indptr, k: int, step: int):
+    """Native uncovered-loci detection; returns (node_ids, offsets) or
+    None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(node_len)
+    handle = lib.psi_uncovered_build(
+        n,
+        np.ascontiguousarray(node_len, dtype=np.int64),
+        np.ascontiguousarray(out_indptr, dtype=np.int64),
+        np.ascontiguousarray(out_indices, dtype=np.int64),
+        len(paths_indptr) - 1,
+        np.ascontiguousarray(paths_nodes, dtype=np.int64),
+        np.ascontiguousarray(paths_indptr, dtype=np.int64),
+        k,
+        step,
+    )
+    try:
+        count = lib.psi_uncovered_count(handle)
+        node_ids = np.empty(count, dtype=np.int64)
+        offsets = np.empty(count, dtype=np.int64)
+        lib.psi_uncovered_export(handle, node_ids, offsets)
+    finally:
+        lib.psi_uncovered_free(handle)
+    return node_ids, offsets
 
 
 def fastq_scan(buf: bytes, max_records: int):

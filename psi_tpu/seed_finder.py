@@ -142,12 +142,41 @@ class SeedFinder:
 
     def add_uncovered_loci(self, step: int = 1):
         """Detect loci whose k-context is not fully covered by the path set
-        (exact mirror of ref: seed_finder.hpp:1481-1541)."""
+        (exact mirror of ref: seed_finder.hpp:1481-1541). Uses the native
+        OpenMP scanner (native/psi_uncovered.cpp) when available."""
         pathset = self.pindex.get_paths_set()
         if len(pathset) == 0:
             self.add_all_loci(step)
             return
         self.stats.set_progress(ProgressEnum.FIND_UNCOVERED)
+
+        from psi_tpu import native
+
+        if native.available():
+            with self.stats.timeit_ts("find-uncovered"):
+                paths_nodes = []
+                paths_indptr = [0]
+                for p in pathset:
+                    paths_nodes.extend(p.get_nodes())
+                    paths_indptr.append(len(paths_nodes))
+                res = native.uncovered_loci(
+                    np.diff(self.graph.label_offsets),
+                    self.graph.out_indptr,
+                    self.graph.out_indices,
+                    np.asarray(paths_nodes, dtype=np.int64),
+                    np.asarray(paths_indptr, dtype=np.int64),
+                    self.seed_len,
+                    step,
+                )
+                if res is not None:
+                    node_ids, offsets = res
+                    for nid, off in zip(node_ids, offsets):
+                        self.add_start(int(nid), int(off))
+                    return
+        self._add_uncovered_loci_py(step)
+
+    def _add_uncovered_loci_py(self, step: int = 1):
+        pathset = self.pindex.get_paths_set()
         with self.stats.timeit_ts("find-uncovered"):
             g = self.graph
             k = self.seed_len
