@@ -150,21 +150,26 @@ class FMIndex:
         n = len(codes)
         sa = suffix_array(codes)
         if n:
-            bwt = codes[(sa - 1) % n]
+            from psi_tpu import native
+
+            bwt = native.bwt_from_sa(codes, sa)
+            if bwt is None:
+                bwt = codes[(sa - 1) % n]
         else:
             bwt = np.zeros(0, dtype=np.uint8)
         counts = np.bincount(codes, minlength=sigma).astype(np.int64)
         C = np.zeros(sigma + 1, dtype=np.int64)
         np.cumsum(counts, out=C[1:])
-        # occ checkpoints
+        # occ checkpoints: per-symbol cumsum sampled at block boundaries
         nblocks = (n + BLOCK - 1) // BLOCK
         occ = np.zeros((nblocks + 1, sigma), dtype=np.int64)
         if n:
-            onehot = np.zeros((n, sigma), dtype=np.int64)
-            onehot[np.arange(n), bwt] = 1
-            csum = np.cumsum(onehot, axis=0)
-            for b in range(1, nblocks + 1):
-                occ[b] = csum[min(b * BLOCK, n) - 1]
+            block_ends = np.minimum(
+                np.arange(1, nblocks + 1) * BLOCK, n
+            ) - 1
+            for c in range(sigma):
+                csum_c = np.cumsum(bwt == c)
+                occ[1:, c] = csum_c[block_ends]
         return FMIndex(codes, sa, bwt, C, occ, str_starts, lengths,
                        codemap=codemap, sigma=sigma)
 
