@@ -204,6 +204,126 @@ def traverse_device(
     return locus_idx, lo, hi, n_used, overflow
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cap", "max_mm"))
+def traverse_device_approx(
+    g: GraphArrays,
+    seeds: SeedsArrays,
+    start_nodes: jax.Array,
+    start_offs: jax.Array,
+    n_init: jax.Array,
+    k: int,
+    cap: int,
+    max_mm: int,
+):
+    """Mismatch-tolerant frontier traversal.
+
+    Same gather-compacted schedule as `traverse_device`, but the
+    character-consumption phase forks each state into up to four
+    children — one per substituted read character — decrementing a
+    mismatch budget when the read character differs from the graph
+    label. Each (walk, seed) pair is reached by exactly one leaf.
+
+    Returns (locus_idx, lo, hi, n_used, overflow).
+    """
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    locus_idx = slot
+    node = start_nodes
+    off = start_offs
+    lo = jnp.zeros(cap, dtype=jnp.int32)
+    hi = jnp.full(cap, seeds.size, dtype=jnp.int32)
+    budget = jnp.full(cap, max_mm, dtype=jnp.int32)
+    n_used = n_init.astype(jnp.int32)
+    overflow = jnp.zeros((), dtype=jnp.bool_)
+
+    def step(t, state):
+        locus_idx, node, off, lo, hi, budget, n_used, overflow = state
+        in_use = slot < n_used
+        safe_node = jnp.maximum(node, 1)
+        node_len = g.label_offsets[safe_node] - g.label_offsets[safe_node - 1]
+        at_end = in_use & (off >= node_len)
+        outdeg = g.out_indptr[safe_node] - g.out_indptr[safe_node - 1]
+
+        # phase 1: graph-edge fork/compaction (same as exact kernel)
+        counts = jnp.where(in_use, jnp.where(at_end, outdeg, 1), 0).astype(
+            jnp.int32
+        )
+        csum = jnp.cumsum(counts)
+        base = csum - counts
+        new_n = csum[-1]
+        overflow = overflow | (new_n > cap)
+        parent = jnp.searchsorted(csum, slot, side="right").astype(jnp.int32)
+        parent_c = jnp.clip(parent, 0, cap - 1)
+        j = slot - base[parent_c]
+        valid = slot < new_n
+        p_at_end = at_end[parent_c]
+        p_node = jnp.maximum(node[parent_c], 1)
+        nb = g.out_indices[
+            jnp.clip(g.out_indptr[p_node - 1] + j, 0, g.out_indices.shape[0] - 1)
+        ]
+        node1 = jnp.where(p_at_end, nb, node[parent_c])
+        off1 = jnp.where(p_at_end, 0, off[parent_c])
+        locus1 = locus_idx[parent_c]
+        lo1 = lo[parent_c]
+        hi1 = hi[parent_c]
+        bud1 = budget[parent_c]
+
+        # phase 2: character fork — children per read character c'
+        sn = jnp.maximum(node1, 1)
+        pos = jnp.clip(g.label_offsets[sn - 1] + off1, 0, g.labels.shape[0] - 1)
+        gc = g.labels[pos]
+        alive1 = valid & (gc < 4)  # 'N' kills
+
+        # refinement for all four characters
+        los, his = [], []
+        for cprime in range(4):
+            cvec = jnp.full(cap, cprime, dtype=jnp.int32)
+            rlo, rhi = _range_refine(seeds, t, lo1, hi1, cvec)
+            los.append(rlo)
+            his.append(rhi)
+        los = jnp.stack(los, axis=1)   # [cap, 4]
+        his = jnp.stack(his, axis=1)
+        cost = (
+            jnp.arange(4, dtype=jnp.int32)[None, :]
+            != jnp.clip(gc, 0, 3)[:, None]
+        ).astype(jnp.int32)
+        child_ok = (
+            alive1[:, None]
+            & (los < his)
+            & (bud1[:, None] - cost >= 0)
+        )
+        ccounts = jnp.sum(child_ok, axis=1).astype(jnp.int32)
+        csum2 = jnp.cumsum(ccounts)
+        base2 = csum2 - ccounts
+        n2 = csum2[-1]
+        overflow = overflow | (n2 > cap)
+
+        parent2 = jnp.searchsorted(csum2, slot, side="right").astype(jnp.int32)
+        parent2 = jnp.clip(parent2, 0, cap - 1)
+        j2 = slot - base2[parent2]
+        # j2-th valid char of parent2: rank-select over the 4-bit mask
+        ok_row = child_ok[parent2]                      # [cap, 4]
+        prefix = jnp.cumsum(ok_row, axis=1) - ok_row    # exclusive
+        # char index where prefix == j2 and ok
+        sel = jnp.argmax(
+            (prefix == j2[:, None]) & ok_row, axis=1
+        ).astype(jnp.int32)
+
+        locus_idx = locus1[parent2]
+        node = node1[parent2]
+        off = off1[parent2] + 1
+        lo = jnp.take_along_axis(los[parent2], sel[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(his[parent2], sel[:, None], axis=1)[:, 0]
+        budget = bud1[parent2] - jnp.take_along_axis(
+            cost[parent2], sel[:, None], axis=1
+        )[:, 0]
+        return locus_idx, node, off, lo, hi, budget, n2, overflow
+
+    locus_idx, node, off, lo, hi, budget, n_used, overflow = jax.lax.fori_loop(
+        0, k, step, (locus_idx, node, off, lo, hi, budget, n_used, overflow)
+    )
+    return locus_idx, lo, hi, n_used, overflow
+
+
 def traverse(
     graph: Graph,
     g: GraphArrays,

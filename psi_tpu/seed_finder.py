@@ -708,12 +708,8 @@ class SeedFinder:
                 return
             from psi_tpu.ops import traverse as trav
 
-            if device and self.seed_mismatches == 0:
-                g = self._get_graph_arrays()
-                sa = trav.seeds_to_device(index)
-                raw = trav.traverse(
-                    self.graph, g, sa, index, self.starting_loci, self.seed_len
-                )
+            if device:
+                raw = self._traverse_device_raw(index)
             else:
                 raw = trav.traverse_host(
                     self.graph, index, self.starting_loci, self.seed_len,
@@ -732,45 +728,67 @@ class SeedFinder:
                 )
             tstats.set_locus_idx(len(self.starting_loci))
 
-    def seeds_off_paths_arrays(self, seeds: SeedSet, index: SeedsIndex):
-        """Columnar off-path hits (structured SEED_DTYPE array)."""
-        with self.stats.timeit_ts("seeds-off-path"):
-            if not self.starting_loci or index.size == 0:
-                return None
-            from psi_tpu.ops import traverse as trav
+    def _traverse_device_raw(self, index: SeedsIndex):
+        """Device traversal (exact or mismatch-tolerant) returning raw
+        (node, off, seed_id, gocc, len) tuples."""
+        cols = self._traverse_device_columns(index)
+        if cols is None:
+            return []
+        return list(zip(*(c.tolist() for c in cols))) if len(cols[0]) else []
 
-            g = self._get_graph_arrays()
-            sa = trav.seeds_to_device(index)
-            import jax.numpy as jnp
+    def _traverse_device_columns(self, index: SeedsIndex):
+        import jax.numpy as jnp
 
-            n = len(self.starting_loci)
-            cap = max(1 << 15, 1 << (n - 1).bit_length())
-            while True:
-                start_nodes = np.zeros(cap, dtype=np.int32)
-                start_offs = np.zeros(cap, dtype=np.int32)
-                for i, l in enumerate(self.starting_loci):
-                    start_nodes[i] = l.node_id()
-                    start_offs[i] = l.offset()
+        from psi_tpu.ops import traverse as trav
+
+        if not self.starting_loci or index.size == 0:
+            return None
+        g = self._get_graph_arrays()
+        sa = trav.seeds_to_device(index)
+        n = len(self.starting_loci)
+        cap = max(1 << 15, 1 << (n - 1).bit_length())
+        while True:
+            start_nodes = np.zeros(cap, dtype=np.int32)
+            start_offs = np.zeros(cap, dtype=np.int32)
+            for i, l in enumerate(self.starting_loci):
+                start_nodes[i] = l.node_id()
+                start_offs[i] = l.offset()
+            if self.seed_mismatches:
+                locus_idx, lo, hi, n_used, overflow = (
+                    trav.traverse_device_approx(
+                        g, sa,
+                        jnp.asarray(start_nodes), jnp.asarray(start_offs),
+                        jnp.asarray(n, dtype=jnp.int32),
+                        self.seed_len, cap, self.seed_mismatches,
+                    )
+                )
+            else:
                 locus_idx, lo, hi, n_used, overflow = trav.traverse_device(
                     g, sa,
                     jnp.asarray(start_nodes), jnp.asarray(start_offs),
                     jnp.asarray(n, dtype=jnp.int32),
                     self.seed_len, cap,
                 )
-                if bool(overflow):
-                    cap *= 2
-                    continue
-                break
-            n_used = int(n_used)
-            nodes, offs, seed_sel, goccs, lens = (
-                trav.traverse_columnar_from_states(
-                    index, self.starting_loci,
-                    np.asarray(locus_idx)[:n_used],
-                    np.asarray(lo)[:n_used],
-                    np.asarray(hi)[:n_used],
-                    self.seed_len,
-                )
-            )
+            if bool(overflow):
+                cap *= 2
+                continue
+            break
+        n_used = int(n_used)
+        return trav.traverse_columnar_from_states(
+            index, self.starting_loci,
+            np.asarray(locus_idx)[:n_used],
+            np.asarray(lo)[:n_used],
+            np.asarray(hi)[:n_used],
+            self.seed_len,
+        )
+
+    def seeds_off_paths_arrays(self, seeds: SeedSet, index: SeedsIndex):
+        """Columnar off-path hits (structured SEED_DTYPE array)."""
+        with self.stats.timeit_ts("seeds-off-path"):
+            cols = self._traverse_device_columns(index)
+            if cols is None:
+                return None
+            nodes, offs, seed_sel, goccs, lens = cols
             out = np.empty(len(nodes), dtype=SEED_DTYPE)
             out["node_id"] = nodes
             out["node_offset"] = offs
