@@ -226,24 +226,46 @@ class FMIndex:
         return sorted(zip(sid.tolist(), off.tolist()))
 
     # --- serialization ------------------------------------------------------
-    def save(self, prefix: str) -> None:
-        np.savez_compressed(
-            prefix + ".fm.npz",
-            codes=self.codes,
-            sa=self.sa,
-            bwt=self.bwt,
-            C=self.C,
-            occ=self.occ,
-            str_starts=self.str_starts,
-            lengths=self.lengths,
-            codemap=self.codemap,
-            sigma=np.int64(self.sigma),
-        )
+    _FIELDS = ("codes", "sa", "bwt", "C", "occ", "str_starts", "lengths",
+               "codemap")
 
-    @staticmethod
-    def load(prefix: str) -> "FMIndex":
+    def save(self, prefix: str, compress: bool = True) -> None:
+        """Persist; `compress=False` writes per-array .npy files under
+        ``<prefix>.fm/`` that load memory-mapped — the disk-backed-index
+        analogue of the reference's DiskBased strings / external FM
+        construction (ref: sequence.hpp:149-291, fmindex.hpp:214-228)."""
+        if compress:
+            np.savez_compressed(
+                prefix + ".fm.npz",
+                sigma=np.int64(self.sigma),
+                **{f: getattr(self, f) for f in self._FIELDS},
+            )
+            return
         import os
 
+        d = prefix + ".fm"
+        os.makedirs(d, exist_ok=True)
+        for f in self._FIELDS:
+            np.save(os.path.join(d, f + ".npy"), getattr(self, f))
+        np.save(os.path.join(d, "sigma.npy"), np.int64(self.sigma))
+
+    @staticmethod
+    def load(prefix: str, mmap: bool = False) -> "FMIndex":
+        import os
+
+        d = prefix + ".fm"
+        if os.path.isdir(d):
+            mode = "r" if mmap else None
+            arrs = {
+                f: np.load(os.path.join(d, f + ".npy"), mmap_mode=mode)
+                for f in FMIndex._FIELDS
+            }
+            sigma = int(np.load(os.path.join(d, "sigma.npy")))
+            return FMIndex(
+                arrs["codes"], arrs["sa"], arrs["bwt"], arrs["C"],
+                arrs["occ"], arrs["str_starts"], arrs["lengths"],
+                codemap=np.asarray(arrs["codemap"]), sigma=sigma,
+            )
         path = prefix + ".fm.npz"
         if not os.path.exists(path):
             raise FileNotFoundError(path)
@@ -251,5 +273,5 @@ class FMIndex:
         return FMIndex(
             z["codes"], z["sa"], z["bwt"], z["C"], z["occ"],
             z["str_starts"], z["lengths"],
-            codemap=z["codemap"], sigma=int(z["sigma"]),
+            codemap=np.asarray(z["codemap"]), sigma=int(z["sigma"]),
         )
