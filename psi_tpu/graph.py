@@ -79,6 +79,11 @@ class Graph:
         self._coord_to_id: Dict[int, int] = {
             int(c): r + 1 for r, c in enumerate(coord_ids)
         }
+        # plain-list mirrors for hot scalar lookups (Python-int access is
+        # several times faster than numpy scalar extraction)
+        self._node_len_list = np.diff(label_offsets).tolist()
+        self._out_indptr_list = out_indptr.tolist()
+        self._out_indices_list = out_indices.tolist()
 
     # --- identity maps ------------------------------------------------------
     @property
@@ -117,8 +122,7 @@ class Graph:
 
     # --- labels -------------------------------------------------------------
     def node_length(self, node_id: int) -> int:
-        r = node_id - 1
-        return int(self.label_offsets[r + 1] - self.label_offsets[r])
+        return self._node_len_list[node_id - 1]
 
     def node_sequence(self, node_id: int) -> str:
         r = node_id - 1
@@ -143,9 +147,14 @@ class Graph:
         return int(np.max(np.diff(self.label_offsets)))
 
     # --- adjacency ----------------------------------------------------------
-    def out_neighbors(self, node_id: int) -> np.ndarray:
+    def out_neighbors(self, node_id: int):
         r = node_id - 1
-        return self.out_indices[self.out_indptr[r]: self.out_indptr[r + 1]]
+        return self._out_indices_list[
+            self._out_indptr_list[r]: self._out_indptr_list[r + 1]
+        ]
+
+    def first_out_neighbor(self, node_id: int) -> int:
+        return self._out_indices_list[self._out_indptr_list[node_id - 1]]
 
     def in_neighbors(self, node_id: int) -> np.ndarray:
         r = node_id - 1
@@ -153,7 +162,7 @@ class Graph:
 
     def outdegree(self, node_id: int) -> int:
         r = node_id - 1
-        return int(self.out_indptr[r + 1] - self.out_indptr[r])
+        return self._out_indptr_list[r + 1] - self._out_indptr_list[r]
 
     def indegree(self, node_id: int) -> int:
         r = node_id - 1

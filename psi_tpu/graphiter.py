@@ -54,21 +54,23 @@ class HaplotypePath:
         return iter(self.nodes)
 
     def contains(self, query) -> bool:
-        """Contiguous ordered containment (ref: path_base.hpp:1257-1281)."""
+        """Contiguous ordered containment (ref: path_base.hpp:1257-1281).
+
+        `query` must be a list of Python ints (hot path)."""
         if isinstance(query, int):
             return query in self._pos
-        query = list(query)
         if not query:
             return False
-        idx = self._pos.get(int(query[0]))
+        idx = self._pos.get(query[0])
         if idx is None or idx + len(query) > len(self.nodes):
             return False
-        return self.nodes[idx: idx + len(query)] == [int(q) for q in query]
+        return self.nodes[idx: idx + len(query)] == query
 
 
 def hap_covered_by(nodes, visited: Sequence[HaplotypePath]) -> bool:
-    """covered_by over generated haplotypes (ref: graph_iter.hpp:692-700)."""
-    nodes = [int(n) for n in nodes]
+    """covered_by over generated haplotypes (ref: graph_iter.hpp:692-700).
+
+    `nodes` must be a list of Python ints (hot path)."""
     if not nodes:
         return False
     for hp in visited:
@@ -78,7 +80,7 @@ def hap_covered_by(nodes, visited: Sequence[HaplotypePath]) -> bool:
 
 
 def hap_path_coverage(nodes, visited: Sequence[HaplotypePath]) -> int:
-    nodes = [int(n) for n in nodes]
+    nodes = list(nodes)
     cov = 0
     if len(nodes) == 1:
         for hp in visited:
