@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import struct
 import sys
 import time
@@ -80,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--device", choices=["auto", "tpu", "cpu"], default="auto",
         help="compute platform for the batched engines",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume an interrupted run from <output>.ckpt (skips already "
+        "processed read chunks; requires identical arguments)",
+    )
+    p.add_argument(
+        "--report", default="",
+        help="write an end-of-run JSON metrics report (the reference's "
+        "parse2csv benchmark schema)",
     )
     return p
 
@@ -172,10 +183,43 @@ def main(argv: Optional[list] = None) -> int:
 
     found = 0
     covered_reads = set()
-    out = open(args.output, "wb")
+    n_chunks = 0
+
+    # checkpoint/resume: deterministic restart from serialized indexes +
+    # read offset (the failure-recovery semantics SURVEY §5 calls for)
+    import json as _json
+
+    ckpt_path = args.output + ".ckpt"
+    resume_reads = 0
+    resume_bytes = 0
+    if args.resume and os.path.exists(ckpt_path):
+        with open(ckpt_path) as fh:
+            ck = _json.load(fh)
+        resume_reads = ck.get("reads_consumed", 0)
+        resume_bytes = ck.get("bytes_written", 0)
+        found = ck.get("found", 0)
+        log.info(
+            "Resuming after %d reads (%d bytes of hits).",
+            resume_reads, resume_bytes,
+        )
+    if resume_bytes and os.path.exists(args.output):
+        out = open(args.output, "r+b")
+        out.truncate(resume_bytes)
+        out.seek(resume_bytes)
+    else:
+        resume_reads = 0
+        resume_bytes = 0
+        out = open(args.output, "wb")
 
     log.info("Finding seeds...")
     stream = FastxStream(args.fastq)
+    while stream.counts() < resume_reads:
+        skip = min(
+            resume_reads - stream.counts(),
+            args.chunk_size or resume_reads,
+        )
+        if not stream.read_chunk(skip)[0]:
+            break
     t_find = time.monotonic()
     while True:
         offset = stream.counts()
@@ -192,6 +236,7 @@ def main(argv: Optional[list] = None) -> int:
         log.info("Seeding done (%d seeds).", len(seeds))
         hits = finder.seeds_all_arrays(seeds, index)
         found += len(hits)
+        n_chunks += 1
         covered_reads.update(np.unique(hits["read_id"]).tolist())
         # bulk binary write of (node_id, node_offset, read_id, read_offset)
         cols = np.empty((len(hits), 4), dtype="<i8")
@@ -200,16 +245,75 @@ def main(argv: Optional[list] = None) -> int:
         cols[:, 2] = hits["read_id"]
         cols[:, 3] = hits["read_offset"]
         cols.tofile(out)
+        out.flush()
+        with open(ckpt_path, "w") as fh:
+            _json.dump(
+                {
+                    "reads_consumed": stream.counts(),
+                    "bytes_written": out.tell(),
+                    "found": found,
+                },
+                fh,
+            )
         if args.chunk_size == 0:
             break
     out.close()
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # clean finish
 
     log.info("Found seeds in %.3fs.", time.monotonic() - t_find)
     log.info("Total number of seeds found: %d", found)
     log.info("Number of reads covered by seeds: %d", len(covered_reads))
     for name, timer in sorted(Timer.get_timers().items()):
         log.info("%s time: %.3fs", name, timer.lap())
+
+    if args.report:
+        _write_report(args, finder, graph, found, covered_reads, n_chunks)
     return 0
+
+
+def _write_report(args, finder, graph, found, covered_reads, n_chunks):
+    """End-of-run metrics in the reference's benchmark schema
+    (field list per script/parse2csv_psikt_config.yaml)."""
+    import json as _json
+
+    from psi_tpu.stats import Timer
+
+    def t(name):
+        total = 0.0
+        for tname, timer in Timer.get_timers().items():
+            if tname.startswith(name):
+                total += timer.lap()
+        return round(total, 4)
+
+    report = {
+        "dataset": args.graph,
+        "seedlen": args.seed_length,
+        "distance": args.distance or args.seed_length,
+        "pathno": args.path_num,
+        "patched": not args.no_patched,
+        "context": finder.pindex.get_context(),
+        "readsindex": "sorted-kmer",
+        "chunksize": args.chunk_size,
+        "stepsize": args.step_size,
+        "pathpicktime": t("pick-paths"),
+        "pathindextime": t("index-paths"),
+        "pathsavetime": t("save-pindex"),
+        "pindexsize": int(finder.pindex.fm.size) if finder.pindex.fm else 0,
+        "locino": len(finder.get_starting_loci()),
+        "uniqnodes": finder.get_nof_uniq_nodes(),
+        "totalnodes": graph.node_count,
+        "pathquerytimeperchunk": round(
+            t("seeds-on-paths") / max(1, n_chunks), 4
+        ),
+        "traversetimeperchunk": round(
+            t("seeds-off-path") / max(1, n_chunks), 4
+        ),
+        "seedhits": found,
+        "coveredreads": len(covered_reads),
+    }
+    with open(args.report, "w") as fh:
+        _json.dump(report, fh, indent=2)
 
 
 if __name__ == "__main__":
