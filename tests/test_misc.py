@@ -1,0 +1,96 @@
+"""Edge-case coverage: Local/Random haplotypers, step sizes, guards."""
+
+import numpy as np
+import pytest
+
+from psi_tpu.graphiter import HaplotyperLocalIter, HaplotyperRandomIter
+from psi_tpu.io import load_gfa
+from psi_tpu.pathset import PathSet, get_uniq_full_haplotype
+from psi_tpu.pathutil import sequence
+from psi_tpu.seed_finder import SeedFinder
+
+
+def test_local_haplotyper_unique(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    pset = PathSet(g)
+    hp = HaplotyperLocalIter(g, param=12, rng=np.random.RandomState(0))
+    hp.reset(int(g.path_nodes(0)[0]), param=12)
+    for _ in range(4):
+        get_uniq_full_haplotype(pset, hp)
+    seqs = [sequence(p) for p in pset]
+    assert len(seqs) == 4
+    assert len(set(seqs)) >= 3  # diversity-seeking: near-unique walks
+    assert seqs[0] == "CAAATAAGATTTGAAAATTTTCTGGAGTTCTATAATATACCAACTCTCTG"
+
+
+def test_random_haplotyper_walks(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    itr = HaplotyperRandomIter(g, seed=42)
+    nodes = []
+    while not itr.at_end():
+        nodes.append(itr.value)
+        itr.next()
+    assert nodes[0] == 1
+    assert nodes[-1] == 15
+    # consecutive nodes are connected
+    for a, b in zip(nodes, nodes[1:]):
+        assert b in list(g.out_neighbors(a))
+
+
+def test_uncovered_step_parity_native_python(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    for step in (1, 2, 3):
+        f1 = SeedFinder(g, 12)
+        f1.pick_paths(4, True, 12)
+        f1.index_paths()
+        f1.add_uncovered_loci(step)
+        l1 = [(l.node_id(), l.offset()) for l in f1.get_starting_loci()]
+
+        f2 = SeedFinder(g, 12)
+        f2.pick_paths(4, True, 12)
+        f2.index_paths()
+        f2._add_uncovered_loci_py(step)
+        l2 = [(l.node_id(), l.offset()) for l in f2.get_starting_loci()]
+        assert l1 == l2, step
+
+
+def test_context_guard(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    finder = SeedFinder(g, 12)
+    finder.pick_paths(2, patched=True, context=8)  # context < seed_len
+    finder.index_paths()
+    from psi_tpu.records import Records
+
+    reads = Records(["r"], ["ACGTACGTACGT"])
+    seeds = finder.get_seeds(reads)
+    index = finder.index_reads(seeds)
+    with pytest.raises(RuntimeError):
+        finder.seeds_on_paths(seeds, index, lambda h: None)
+
+
+def test_seeding_distance_param(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    finder = SeedFinder(g, 5)
+    from psi_tpu.records import Records
+
+    reads = Records(["r"], ["ACGTACGTACGTACG"])  # len 15
+    s_no = finder.get_seeds(reads)            # non-overlapping: 0,5,10
+    assert len(s_no) == 3
+    s_ov = finder.get_seeds(reads, 2)          # step 2: 0,2,4,6,8,10
+    assert len(s_ov) == 6
+    s_gr = finder.get_seeds(reads, 1)          # greedy: 11 windows
+    assert len(s_gr) == 11
+
+
+def test_empty_reads_chunk(data_dir):
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    finder = SeedFinder(g, 12)
+    finder.pick_paths(2, True, 12)
+    finder.index_paths()
+    finder.add_uncovered_loci()
+    from psi_tpu.records import Records
+
+    seeds = finder.get_seeds(Records([], []))
+    index = finder.index_reads(seeds)
+    hits = finder.seeds_all_arrays(seeds, index)
+    assert len(hits) == 0
