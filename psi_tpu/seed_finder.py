@@ -495,22 +495,19 @@ class SeedFinder:
 
         if not emit.any():
             return None
-        widths = counts[emit]
-        maxw = int(widths.max())
-        pos, mask = fm_ops.locate_ranges(
-            arrays, jnp.asarray(lo[emit]), jnp.asarray(hi[emit]), maxw
-        )
-        pos = np.asarray(pos)
-        mask = np.asarray(mask)
-
         fm = self.pindex.fm
         pm = self._path_map
         emit_idx = np.nonzero(emit)[0]
 
-        # fully vectorized emission: flatten all (path occurrence x seed)
-        # pairs across the emitted k-mers in one pass
-        occ_rows, occ_cols = np.nonzero(mask)         # per-occurrence
-        occ_pos = pos[occ_rows, occ_cols]
+        # locate via direct dense-SA range expansion (no padded matrix:
+        # a single repetitive k-mer must not blow up the batch)
+        widths = counts[emit].astype(np.int64)
+        total = int(widths.sum())
+        occ_rows = np.repeat(np.arange(len(widths)), widths)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(widths) - widths, widths
+        )
+        occ_pos = np.asarray(fm.sa)[lo[emit][occ_rows] + within]
         ui_per_occ = emit_idx[occ_rows]
         sid, q = fm.text_pos_to_string(occ_pos)
         fwd = pm["lengths"][sid] - q - k
