@@ -79,6 +79,25 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.psi_uncovered_export.restype = None
         lib.psi_uncovered_free.argtypes = [ctypes.c_void_p]
         lib.psi_uncovered_free.restype = None
+        RAND_FN = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_int64)
+        lib._RAND_FN = RAND_FN
+        lib.psi_pick_paths.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p,
+            ctypes.c_int64, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            RAND_FN,
+        ]
+        lib.psi_pick_paths.restype = ctypes.c_void_p
+        lib.psi_pick_paths_count.argtypes = [ctypes.c_void_p]
+        lib.psi_pick_paths_count.restype = ctypes.c_int64
+        lib.psi_pick_paths_nodes_total.argtypes = [ctypes.c_void_p]
+        lib.psi_pick_paths_nodes_total.restype = ctypes.c_int64
+        lib.psi_pick_paths_export.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p
+        ]
+        lib.psi_pick_paths_export.restype = None
+        lib.psi_pick_paths_free.argtypes = [ctypes.c_void_p]
+        lib.psi_pick_paths_free.restype = None
         _lib = lib
         return _lib
 
@@ -163,6 +182,41 @@ def uncovered_loci(node_len, out_indptr, out_indices, paths_nodes,
     finally:
         lib.psi_uncovered_free(handle)
     return node_ids, offsets
+
+
+def pick_paths(node_len, out_indptr, out_indices, region_starts, n: int,
+               context: int, patched: bool, rng):
+    """Native path picking; returns (indptr, nodes, lefts, rights) or
+    None without the library. `rng` is a numpy RandomState driving the
+    tie-break callback (identical draw sequence to the Python picker)."""
+    lib = _load()
+    if lib is None:
+        return None
+
+    def _draw(n_choices):
+        return int(rng.randint(0, n_choices))
+
+    cb = lib._RAND_FN(_draw)
+    handle = lib.psi_pick_paths(
+        len(node_len),
+        np.ascontiguousarray(node_len, dtype=np.int64),
+        np.ascontiguousarray(out_indptr, dtype=np.int64),
+        np.ascontiguousarray(out_indices, dtype=np.int64),
+        len(region_starts),
+        np.ascontiguousarray(region_starts, dtype=np.int64),
+        n, context, int(patched), cb,
+    )
+    try:
+        count = lib.psi_pick_paths_count(handle)
+        total = lib.psi_pick_paths_nodes_total(handle)
+        indptr = np.empty(count + 1, dtype=np.int64)
+        nodes = np.empty(total, dtype=np.int64)
+        lefts = np.empty(count, dtype=np.int64)
+        rights = np.empty(count, dtype=np.int64)
+        lib.psi_pick_paths_export(handle, indptr, nodes, lefts, rights)
+    finally:
+        lib.psi_pick_paths_free(handle)
+    return indptr, nodes, lefts, rights
 
 
 def fastq_scan(buf: bytes, max_records: int):

@@ -82,6 +82,34 @@ class SeedFinder:
         self.stats.set_progress(ProgressEnum.SELECT_PATHS)
         with self.stats.timeit_ts("pick-paths"):
             context = self._set_context(context, patched)
+            from psi_tpu import native
+
+            if native.available() and not os.environ.get("PSI_PY_PICK"):
+                region_starts = np.array(
+                    [int(nodes[0]) for _, (name, nodes) in
+                     self.graph.for_each_path()],
+                    dtype=np.int64,
+                )
+                res = native.pick_paths(
+                    np.diff(self.graph.label_offsets),
+                    self.graph.out_indptr,
+                    self.graph.out_indices,
+                    region_starts,
+                    n, context, patched,
+                    np.random.RandomState(self._rng_seed),
+                )
+                if res is not None:
+                    indptr, nodes_flat, lefts, rights = res
+                    for i in range(len(lefts)):
+                        self.pindex.push_back(
+                            Path(
+                                self.graph,
+                                nodes_flat[indptr[i]: indptr[i + 1]].tolist(),
+                                int(lefts[i]),
+                                int(rights[i]),
+                            )
+                        )
+                    return
             hp = HaplotyperIter(
                 self.graph, rng=np.random.RandomState(self._rng_seed)
             )
