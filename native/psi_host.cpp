@@ -156,6 +156,20 @@ void psi_sais(const uint8_t* text, int64_t n, int64_t* sa) {
   std::memcpy(sa, sa_tmp.data() + 1, sizeof(int64_t) * n);
 }
 
+// Occ checkpoints in one pass: occ[(b+1)*sigma + c] = #(bwt[0:min((b+1)*B, n)] == c)
+// for b in [0, nblocks); occ row 0 is zeros. occ: int64[(nblocks+1)*sigma].
+void psi_occ_checkpoints(const uint8_t* bwt, int64_t n, int64_t block,
+                         int64_t sigma, int64_t* occ) {
+  int64_t nblocks = (n + block - 1) / block;
+  std::vector<int64_t> counts(sigma, 0);
+  for (int64_t c = 0; c < sigma; ++c) occ[c] = 0;
+  for (int64_t b = 0; b < nblocks; ++b) {
+    int64_t end = std::min((b + 1) * block, n);
+    for (int64_t i = b * block; i < end; ++i) ++counts[bwt[i]];
+    std::copy(counts.begin(), counts.end(), occ + (b + 1) * sigma);
+  }
+}
+
 // BWT extraction: bwt[i] = text[(sa[i] + n - 1) % n].
 void psi_bwt_from_sa(const uint8_t* text, const int64_t* sa, int64_t n,
                      uint8_t* bwt) {

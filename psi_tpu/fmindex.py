@@ -160,16 +160,22 @@ class FMIndex:
         counts = np.bincount(codes, minlength=sigma).astype(np.int64)
         C = np.zeros(sigma + 1, dtype=np.int64)
         np.cumsum(counts, out=C[1:])
-        # occ checkpoints: per-symbol cumsum sampled at block boundaries
+        # occ checkpoints: native one-pass scan, else per-symbol cumsum
         nblocks = (n + BLOCK - 1) // BLOCK
-        occ = np.zeros((nblocks + 1, sigma), dtype=np.int64)
+        occ = None
         if n:
-            block_ends = np.minimum(
-                np.arange(1, nblocks + 1) * BLOCK, n
-            ) - 1
-            for c in range(sigma):
-                csum_c = np.cumsum(bwt == c)
-                occ[1:, c] = csum_c[block_ends]
+            from psi_tpu import native
+
+            occ = native.occ_checkpoints(bwt, BLOCK, sigma)
+        if occ is None:
+            occ = np.zeros((nblocks + 1, sigma), dtype=np.int64)
+            if n:
+                block_ends = np.minimum(
+                    np.arange(1, nblocks + 1) * BLOCK, n
+                ) - 1
+                for c in range(sigma):
+                    csum_c = np.cumsum(bwt == c)
+                    occ[1:, c] = csum_c[block_ends]
         return FMIndex(codes, sa, bwt, C, occ, str_starts, lengths,
                        codemap=codemap, sigma=sigma)
 

@@ -50,6 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.psi_sais.restype = None
         lib.psi_bwt_from_sa.argtypes = [u8p, i64p, ctypes.c_int64, u8p]
         lib.psi_bwt_from_sa.restype = None
+        lib.psi_occ_checkpoints.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p
+        ]
+        lib.psi_occ_checkpoints.restype = None
         lib.psi_fastq_scan.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64,
             i64p, i64p, i64p, i64p,
@@ -127,6 +131,19 @@ def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray) -> Optional[np.ndarray]:
     bwt = np.empty(len(text), dtype=np.uint8)
     lib.psi_bwt_from_sa(text, sa, len(text), bwt)
     return bwt
+
+
+def occ_checkpoints(bwt: np.ndarray, block: int, sigma: int):
+    """Native one-pass occ checkpoint table; None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    bwt = np.ascontiguousarray(bwt, dtype=np.uint8)
+    n = len(bwt)
+    nblocks = (n + block - 1) // block
+    occ = np.zeros((nblocks + 1, sigma), dtype=np.int64)
+    lib.psi_occ_checkpoints(bwt, n, block, sigma, occ)
+    return occ
 
 
 def dindex_build(node_len, out_indptr, out_indices, dmax: int):
