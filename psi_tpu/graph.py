@@ -232,23 +232,28 @@ class Graph:
 
         edges = list(edges)
         n = len(coord_sorted)
-        out_lists: List[List[int]] = [[] for _ in range(n)]
-        in_lists: List[List[int]] = [[] for _ in range(n)]
-        for f, t in edges:
-            fr, tr = coord_to_rank0[f], coord_to_rank0[t]
-            out_lists[fr].append(tr + 1)
-            in_lists[tr].append(fr + 1)
+        if edges:
+            earr = np.asarray(edges, dtype=np.int64)
+            if coord_sorted == list(range(1, n + 1)):
+                fr = earr[:, 0] - 1
+                tr = earr[:, 1] - 1
+            else:
+                lut = np.zeros(int(coord_ids.max()) + 1, dtype=np.int64)
+                lut[coord_ids] = np.arange(n)
+                fr = lut[earr[:, 0]]
+                tr = lut[earr[:, 1]]
+        else:
+            fr = tr = np.zeros(0, dtype=np.int64)
 
-        def to_csr(lists):
+        def to_csr(keys, vals):
+            # stable sort groups by source, preserving file order per key
+            order = np.argsort(keys, kind="stable")
             indptr = np.zeros(n + 1, dtype=np.int64)
-            indptr[1:] = np.cumsum([len(l) for l in lists])
-            indices = np.array(
-                [x for l in lists for x in l], dtype=np.int64
-            )
-            return indptr, indices
+            np.cumsum(np.bincount(keys, minlength=n), out=indptr[1:])
+            return indptr, (vals[order] + 1).astype(np.int64)
 
-        out_indptr, out_indices = to_csr(out_lists)
-        in_indptr, in_indices = to_csr(in_lists)
+        out_indptr, out_indices = to_csr(fr, tr)
+        in_indptr, in_indices = to_csr(tr, fr)
 
         gpaths = [
             (
