@@ -238,3 +238,79 @@ def write_vg(path: str, messages: List[bytes]) -> None:
         body.extend(msg)
     with gzip.open(path, "wb") as fh:
         fh.write(bytes(body))
+
+
+def encode_vg_alignment(
+    name: str,
+    sequence: str,
+    path_nodes: List[Tuple[int, int]] = (),
+    score: int = 0,
+    identity: float = 0.0,
+) -> bytes:
+    """Serialize one vg::Alignment (GAM record): name, sequence, and a
+    Path of (node_id, offset) mappings."""
+    import struct as _struct
+
+    out = bytearray()
+    _write_field(out, 1, 2, sequence.encode("ascii"))
+    if path_nodes:
+        pmsg = bytearray()
+        for rank, (nid, off) in enumerate(path_nodes, start=1):
+            pos = bytearray()
+            _write_field(pos, 1, 0, nid)
+            if off:
+                _write_field(pos, 2, 0, off)
+            mapping = bytearray()
+            _write_field(mapping, 1, 2, bytes(pos))
+            _write_field(mapping, 5, 0, rank)
+            _write_field(pmsg, 2, 2, bytes(mapping))
+        _write_field(out, 2, 2, bytes(pmsg))
+    _write_field(out, 3, 2, name.encode("utf-8"))
+    if score:
+        _write_field(out, 6, 0, score)
+    if identity:
+        _write_varint(out, (16 << 3) | 1)  # field 16, 64-bit
+        out.extend(_struct.pack("<d", identity))
+    return bytes(out)
+
+
+def write_gam(path: str, alignments: List[bytes], tagged: bool = True) -> None:
+    """Write alignments as a gzip GAM stream (type-tagged framing)."""
+    body = bytearray()
+    if tagged:
+        _write_varint(body, len(alignments) + 1)
+        _write_varint(body, 3)
+        body.extend(b"GAM")
+    else:
+        _write_varint(body, len(alignments))
+    for msg in alignments:
+        _write_varint(body, len(msg))
+        body.extend(msg)
+    with gzip.open(path, "wb") as fh:
+        fh.write(bytes(body))
+
+
+def read_gam(path: str) -> List[dict]:
+    """Parse a GAM stream into dicts with name/sequence/path."""
+    out = []
+    for msg in iter_vg_messages(path):
+        rec = {"name": "", "sequence": "", "path": []}
+        for field, wtype, val in _iter_fields(msg):
+            if field == 1 and wtype == 2:
+                rec["sequence"] = bytes(val).decode("ascii", "replace")
+            elif field == 3 and wtype == 2:
+                rec["name"] = bytes(val).decode("utf-8", "replace")
+            elif field == 2 and wtype == 2:
+                for f2, _, v2 in _iter_fields(val):
+                    if f2 == 2:  # mapping
+                        nid, off = 0, 0
+                        for f3, _, v3 in _iter_fields(v2):
+                            if f3 == 1:  # position
+                                for f4, _, v4 in _iter_fields(v3):
+                                    if f4 == 1:
+                                        nid = v4
+                                    elif f4 == 2:
+                                        off = v4
+                        rec["path"].append((nid, off))
+        out.append(rec)
+    return out

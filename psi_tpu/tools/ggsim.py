@@ -95,7 +95,8 @@ def main(argv=None) -> int:
     p.add_argument("graph", help="graph file (vg or gfa)")
     p.add_argument("-o", "--output", default="-")
     p.add_argument(
-        "-t", "--type", choices=["plain", "fastq", "fasta", "haplotypes"],
+        "-t", "--type",
+        choices=["plain", "fastq", "fasta", "gam", "haplotypes"],
         default="fastq",
     )
     p.add_argument("-p", "--ploidy", type=int, default=2)
@@ -136,11 +137,40 @@ def main(argv=None) -> int:
     seqs = [(name, sequence(hap)) for name, hap in haps]
     dist = reads_dist([len(s) for _, s in seqs], readlen, args.num_reads, span)
 
-    def emit(name, seq):
+    gam_records = []
+    hap_by_name = dict(haps)
+
+    def truth_path(hname, pos, length):
+        """(node, offset) mappings of [pos, pos+length) on the haplotype."""
+        hap = hap_by_name[hname]
+        rnk = hap.rank(pos)
+        out_nodes = []
+        covered = 0
+        off0 = pos - hap.select(rnk)
+        while covered < length and rnk < hap.size():
+            nid = hap.get_nodes()[rnk]
+            off = off0 if not out_nodes else 0
+            out_nodes.append((hap.graph.coordinate_id(nid), off))
+            covered += hap.graph.node_length(nid) - off
+            rnk += 1
+        return out_nodes
+
+    def emit(name, seq, hname=None, pos=None):
         if args.type == "fastq":
             out.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
         elif args.type == "fasta":
             out.write(f">{name}\n{seq}\n")
+        elif args.type == "gam":
+            from psi_tpu.io.vgio import encode_vg_alignment
+
+            pathm = (
+                truth_path(hname, pos, len(seq))
+                if hname is not None
+                else []
+            )
+            gam_records.append(
+                encode_vg_alignment(name, seq, pathm, identity=1.0)
+            )
         else:
             out.write(f"{seq}\n")
 
@@ -159,15 +189,31 @@ def main(argv=None) -> int:
                 r1 = impose_error(r1, rng, args.error_rate, args.indel_rate)
                 r2 = impose_error(r2, rng, args.error_rate, args.indel_rate)
                 base = f"read{ridx}_{hname}_{pos}"
-                emit(base + "/1", r1 if fwd else revcomp(r1))
-                emit(base + "/2", r2 if fwd else revcomp(r2))
+                emit(base + "/1", r1 if fwd else revcomp(r1), hname, pos)
+                emit(
+                    base + "/2", r2 if fwd else revcomp(r2), hname,
+                    pos + args.distance - readlen,
+                )
             else:
                 r = hseq[pos: pos + readlen]
                 if not args.allow_Ns and "N" in r:
                     continue
                 r = impose_error(r, rng, args.error_rate, args.indel_rate)
-                emit(f"read{ridx}_{hname}_{pos}", r if fwd else revcomp(r))
+                emit(
+                    f"read{ridx}_{hname}_{pos}", r if fwd else revcomp(r),
+                    hname, pos,
+                )
             ridx += 1
+    if args.type == "gam":
+        from psi_tpu.io.vgio import write_gam
+
+        if args.output == "-":
+            print("error: GAM output requires -o FILE", file=sys.stderr)
+            return 1
+        if out is not sys.stdout:
+            out.close()
+        write_gam(args.output, gam_records)
+        return 0
     if out is not sys.stdout:
         out.close()
     return 0
