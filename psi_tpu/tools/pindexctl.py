@@ -36,6 +36,11 @@ def main(argv=None) -> int:
     vg.add_argument("-l", "--seed-length", type=int, default=0)
     vg.add_argument("-e", "--step-size", type=int, default=1)
 
+    gam = sub.add_parser("to-gam", help="export indexed paths as GAM")
+    gam.add_argument("graph")
+    gam.add_argument("-I", "--path-index", required=True)
+    gam.add_argument("-o", "--output", required=True)
+
     args = p.parse_args(argv)
 
     from psi_tpu.io import load_graph
@@ -104,6 +109,28 @@ def main(argv=None) -> int:
             f"wrote induced subgraph: {len(nodes)} nodes, {len(edges)} edges",
             file=sys.stderr,
         )
+        return 0
+
+    if args.cmd == "to-gam":
+        from psi_tpu.io.vgio import encode_vg_alignment, write_gam
+
+        finder = SeedFinder(graph, 1)
+        finder.pindex.set_context(0)
+        if not finder.pindex.load(args.path_index):
+            print("error: cannot load path index", file=sys.stderr)
+            return 1
+        records = []
+        for i, path in enumerate(finder.pindex.get_paths_set()):
+            mappings = [
+                (graph.coordinate_id(nid),
+                 path.get_head_offset() if j == 0 else 0)
+                for j, nid in enumerate(path.get_nodes())
+            ]
+            records.append(
+                encode_vg_alignment(f"path{i}", sequence(path), mappings)
+            )
+        write_gam(args.output, records)
+        print(f"wrote {len(records)} path alignments", file=sys.stderr)
         return 0
 
     return 1
