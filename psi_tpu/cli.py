@@ -221,19 +221,41 @@ def main(argv: Optional[list] = None) -> int:
         if not stream.read_chunk(skip)[0]:
             break
     t_find = time.monotonic()
+
+    # host pipeline: a producer thread parses the next chunk and builds
+    # its k-mer index while the device queries the current one (the
+    # third parallel axis — host I/O <-> device compute overlap)
+    import queue
+    import threading
+
+    work_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        while True:
+            offset = stream.counts()
+            names, seqs = stream.read_chunk(args.chunk_size)
+            if not names:
+                work_q.put(None)
+                return
+            chunk = Records(names, seqs, rec_offset=offset)
+            seeds = finder.get_seeds(chunk, args.distance)
+            index = finder.index_reads(seeds)
+            work_q.put((chunk, seeds, index))
+            if args.chunk_size == 0:
+                work_q.put(None)
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+
     while True:
-        offset = stream.counts()
-        names, seqs = stream.read_chunk(args.chunk_size)
-        if not names:
+        item = work_q.get()
+        if item is None:
             break
-        chunk = Records(names, seqs, rec_offset=offset)
+        chunk, seeds, index = item
         log.info(
-            "Fetched %d reads with total length of %dbp.",
-            len(chunk), chunk.length_sum(),
+            "Fetched %d reads with total length of %dbp (%d seeds).",
+            len(chunk), chunk.length_sum(), len(seeds),
         )
-        seeds = finder.get_seeds(chunk, args.distance)
-        index = finder.index_reads(seeds)
-        log.info("Seeding done (%d seeds).", len(seeds))
         hits = finder.seeds_all_arrays(seeds, index)
         found += len(hits)
         n_chunks += 1
@@ -249,14 +271,13 @@ def main(argv: Optional[list] = None) -> int:
         with open(ckpt_path, "w") as fh:
             _json.dump(
                 {
-                    "reads_consumed": stream.counts(),
+                    # producer may be ahead; checkpoint what WE consumed
+                    "reads_consumed": chunk.rec_offset + len(chunk),
                     "bytes_written": out.tell(),
                     "found": found,
                 },
                 fh,
             )
-        if args.chunk_size == 0:
-            break
     out.close()
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)  # clean finish
