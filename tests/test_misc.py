@@ -94,3 +94,19 @@ def test_empty_reads_chunk(data_dir):
     index = finder.index_reads(seeds)
     hits = finder.seeds_all_arrays(seeds, index)
     assert len(hits) == 0
+
+
+def test_pathindex_context_guard_on_load(data_dir, tmp_path):
+    """(ref: pathindex.hpp:109-143): a stored context smaller than the
+    requested one must be rejected."""
+    g = load_gfa(str(data_dir / "tiny" / "tiny.gfa"))
+    f = SeedFinder(g, 12)
+    f.create_path_index(4, True, 12)
+    prefix = str(tmp_path / "p")
+    assert f.serialize_path_index(prefix)
+
+    f2 = SeedFinder(g, 20)
+    assert not f2.load_path_index(prefix, context=20)
+
+    f3 = SeedFinder(g, 10)
+    assert f3.load_path_index(prefix, context=10)
