@@ -10,7 +10,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import struct
+
 import sys
 import time
 from typing import Optional

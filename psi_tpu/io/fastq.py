@@ -9,7 +9,7 @@ global across chunks.
 from __future__ import annotations
 
 import gzip
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 
 def _open(path: str):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from psi_tpu.fmindex import BLOCK, FMIndex
+from psi_tpu.fmindex import FMIndex
 
 
 def initialize_multihost(

@@ -14,12 +14,12 @@ and the patch generator.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
 from psi_tpu.graph import Graph
-from psi_tpu.graphiter import EndOfIteration, HaplotyperIter, extend_to_k
+from psi_tpu.graphiter import EndOfIteration, extend_to_k
 from psi_tpu.pathutil import (
     Path,
     extend,

@@ -10,7 +10,7 @@ the sorted keys — the same data-parallel shape as FM backward search.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

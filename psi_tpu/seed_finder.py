@@ -9,7 +9,7 @@ seeds_off_paths (frontier traversal route).
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import numpy as np
 

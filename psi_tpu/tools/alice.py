@@ -10,9 +10,6 @@ import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-import numpy as np
-
-
 @dataclass
 class GAFRecord:
     """One GAF line (oriented-path parsing per ref: alice.cpp:181-444)."""
