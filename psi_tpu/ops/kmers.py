@@ -81,6 +81,43 @@ def kmer_char(keys: np.ndarray, pos: int, k: int) -> np.ndarray:
     return ((keys >> shift) & np.uint64(3)).astype(np.int32)
 
 
+def expand_hamming(keys: np.ndarray, k: int, m: int):
+    """All packed k-mers within Hamming distance <= m of each input key.
+
+    Returns (variant_keys uint64[V], origin_idx int64[V]) deduplicated
+    per origin. Used by the mismatch-tolerant on-path route: searching
+    every variant exactly equals allowing <= m substitutions.
+    """
+    cur_keys = keys.astype(np.uint64)
+    cur_origin = np.arange(len(keys), dtype=np.int64)
+    all_keys = [cur_keys]
+    all_origin = [cur_origin]
+    for _ in range(m):
+        parts_k = []
+        parts_o = []
+        for pos in range(k):
+            shift = np.uint64(2 * (k - 1 - pos))
+            mask = np.uint64(3) << shift
+            base = cur_keys & ~mask
+            old = (cur_keys >> shift) & np.uint64(3)
+            for delta in (1, 2, 3):
+                newc = (old + np.uint64(delta)) & np.uint64(3)
+                parts_k.append(base | (newc << shift))
+                parts_o.append(cur_origin)
+        cur_keys = np.concatenate(parts_k)
+        cur_origin = np.concatenate(parts_o)
+        # dedup within this level against everything seen per origin
+        all_keys.append(cur_keys)
+        all_origin.append(cur_origin)
+    vk = np.concatenate(all_keys)
+    vo = np.concatenate(all_origin)
+    # dedup (origin, key) pairs
+    combo = np.stack([vo.astype(np.uint64), vk], axis=1)
+    _, idx = np.unique(combo, axis=0, return_index=True)
+    idx = np.sort(idx)
+    return vk[idx], vo[idx]
+
+
 def extract_kmers(
     seqs, k: int, step: int, greedy_tail: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -505,8 +505,21 @@ class SeedFinder:
         uniq_keys, uniq_start = np.unique(index.sorted_keys, return_index=True)
         uniq_end = np.append(uniq_start[1:], index.size)
 
+        if self.seed_mismatches:
+            # mismatch-tolerant on-path route: search the whole Hamming
+            # ball of every distinct seed k-mer (an exact-variant match
+            # == a <= m-mismatch match of the original seed)
+            from psi_tpu.ops.kmers import expand_hamming
+
+            search_keys, origin = expand_hamming(
+                uniq_keys, k, self.seed_mismatches
+            )
+        else:
+            search_keys = uniq_keys
+            origin = np.arange(len(uniq_keys), dtype=np.int64)
+
         arrays = self._get_fm_arrays()
-        codes = fm_ops.keys_to_codes(uniq_keys, k)
+        codes = fm_ops.keys_to_codes(search_keys, k)
         lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
         lo = np.asarray(lo)
         hi = np.asarray(hi)
@@ -536,7 +549,8 @@ class SeedFinder:
             np.cumsum(widths) - widths, widths
         )
         occ_pos = np.asarray(fm.sa)[lo[emit][occ_rows] + within]
-        ui_per_occ = emit_idx[occ_rows]
+        row_per_occ = emit_idx[occ_rows]       # search row (variant)
+        ui_per_occ = origin[row_per_occ]       # seed group of the hit
         sid, q = fm.text_pos_to_string(occ_pos)
         fwd = pm["lengths"][sid] - q - k
         gpos = pm["seq_off"][sid] + fwd
@@ -548,7 +562,7 @@ class SeedFinder:
         n_seeds_per_ui = (uniq_end - uniq_start)[ui_per_occ]
         rep_nodes = np.repeat(node_ids, n_seeds_per_ui)
         rep_offs = np.repeat(node_offs, n_seeds_per_ui)
-        rep_gocc = np.repeat(counts[ui_per_occ], n_seeds_per_ui)
+        rep_gocc = np.repeat(counts[row_per_occ], n_seeds_per_ui)
         # seed ids: for each occurrence, the contiguous run of its k-mer
         starts_rep = np.repeat(uniq_start[ui_per_occ], n_seeds_per_ui)
         within = (
