@@ -1,0 +1,101 @@
+"""Wait for a healthy TPU window, then measure the hot kernel.
+
+Retries forever (caller bounds lifetime); writes results to
+/tmp/tpu_dense_result.json on success.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+MEASURE = r"""
+import time, numpy as np
+import jax, jax.numpy as jnp
+import sys
+sys.path.insert(0, "/root/repo")
+from psi_tpu.fmindex import FMIndex
+from psi_tpu.ops import fm as fm_ops
+
+cache = "/root/.cache/psi_tpu_xla"
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+rng = np.random.RandomState(42)
+n_paths, plen, k, B = 4, 1_000_000, 20, 1 << 19
+strings = ["".join(rng.choice(list("ACGT"), size=plen)) for _ in range(n_paths)]
+fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+kmers = np.empty((B, k), dtype=np.int32)
+half = B // 2
+lut = np.zeros(256, np.int32)
+for i, ch in enumerate("ACGT"):
+    lut[ord(ch)] = i
+src = rng.randint(0, n_paths, half)
+st = rng.randint(0, plen - k, half)
+for r in range(half):
+    frag = strings[src[r]][st[r]: st[r] + k]
+    kmers[r] = lut[np.frombuffer(frag.encode(), np.uint8)]
+kmers[half:] = rng.randint(0, 4, (B - half, k))
+codes = jnp.asarray((kmers + 1).astype(np.int32))
+
+out = {}
+for dense in (True, False):
+    arrays = fm_ops.to_device(fm, dense_occ=dense)
+    t = time.time()
+    lo, hi = fm_ops.backward_search_codes(arrays, codes)
+    np.asarray(lo)
+    out[f"compile_s_dense_{dense}"] = round(time.time() - t, 1)
+    t = time.time()
+    iters = 5
+    for _ in range(iters):
+        lo, hi = fm_ops.backward_search_codes(arrays, codes)
+        np.asarray(lo)
+    dt = (time.time() - t) / iters
+    out[f"kmers_per_s_dense_{dense}"] = round(B / dt, 1)
+    out[f"ms_per_batch_dense_{dense}"] = round(dt * 1e3, 1)
+import json
+print("RESULT " + json.dumps(out))
+"""
+
+
+def main():
+    deadline = time.time() + float(os.environ.get("TPU_WAIT_S", "14400"))
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "print(float(np.asarray(jnp.ones((8,8))@jnp.ones((8,8)))[0,0]))"],
+                capture_output=True, timeout=60,
+            )
+            healthy = probe.returncode == 0 and b"8.0" in probe.stdout
+        except subprocess.TimeoutExpired:
+            healthy = False
+        print(f"[{time.strftime('%H:%M:%S')}] attempt {attempt}: "
+              f"{'healthy' if healthy else 'down'}", flush=True)
+        if healthy:
+            try:
+                run = subprocess.run(
+                    [sys.executable, "-c", MEASURE],
+                    capture_output=True, timeout=900,
+                )
+                txt = run.stdout.decode()
+                print(txt[-2000:], flush=True)
+                for line in txt.splitlines():
+                    if line.startswith("RESULT "):
+                        with open("/tmp/tpu_dense_result.json", "w") as fh:
+                            fh.write(line[len("RESULT "):])
+                        print("saved result; done", flush=True)
+                        return 0
+                print(run.stderr.decode()[-1500:], flush=True)
+            except subprocess.TimeoutExpired:
+                print("measurement timed out; retrying", flush=True)
+        time.sleep(60)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
