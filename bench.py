@@ -17,9 +17,10 @@ import time
 import numpy as np
 
 
-def probe_tpu(timeout_s: int = 90) -> bool:
+def probe_tpu(timeout_s: int = 90, attempts: int = 3) -> bool:
     """Check TPU reachability in a subprocess (the tunnel can wedge a
-    process forever; a stuck probe must not hang the benchmark)."""
+    process forever; a stuck probe must not hang the benchmark). The
+    tunnel flaps, so retry a few times before giving up."""
     import subprocess
 
     code = (
@@ -27,15 +28,20 @@ def probe_tpu(timeout_s: int = 90) -> bool:
         "x = jnp.ones((8, 8));"
         "print(float(np.asarray(x @ x)[0, 0]))"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            timeout=timeout_s,
-        )
-        return out.returncode == 0 and b"8.0" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                timeout=timeout_s,
+            )
+            if out.returncode == 0 and b"8.0" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(30)
+    return False
 
 
 def main():
