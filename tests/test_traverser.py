@@ -87,3 +87,42 @@ def test_traverser_branch_walks_emit_separately(setup):
     assert all(h[3] == 1 for h in raw)
     rids = sorted(seeds.read_id(h[2]) for h in raw)
     assert rids == [8, 9]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_device_traverser_random_graphs(seed):
+    """Device == host on random bubble graphs, incl. the overflow-retry
+    path (tiny starting capacity forces frontier growth past cap)."""
+    from psi_tpu.graphiter import HaplotyperRandomIter
+    from psi_tpu.pathutil import Path as PPath, sequence
+    from psi_tpu.simulate import make_pangenome_graph
+
+    rng = np.random.RandomState(seed)
+    graph = make_pangenome_graph(1500, 0.05, indel_frac=0.4, seed=seed)
+    itr = HaplotyperRandomIter(graph, seed=seed + 1)
+    hap = PPath(graph)
+    while not itr.at_end():
+        hap.push_back(itr.value)
+        itr.next()
+    hs = sequence(hap)
+    k = int(rng.randint(6, 16))
+    reads = Records(
+        [f"r{i}" for i in range(20)],
+        [hs[p: p + k] for p in rng.randint(0, len(hs) - k, 20)],
+    )
+    seeds = seeding(reads, k, k)
+    index = SeedsIndex(seeds)
+    loci = [
+        Position(n, o)
+        for n in range(1, graph.node_count + 1)
+        for o in range(graph.node_length(n))
+    ]
+    g = trav.graph_to_device(graph)
+    sa = trav.seeds_to_device(index)
+    host = sorted(trav.traverse_host(graph, index, loci, k))
+    dev = sorted(trav.traverse(graph, g, sa, index, loci, k, cap=1 << 13))
+    assert dev == host
+    dev2 = sorted(
+        trav.traverse(graph, g, sa, index, loci, k, cap=len(loci) + 1)
+    )
+    assert dev2 == host
