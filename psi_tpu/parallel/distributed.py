@@ -129,6 +129,60 @@ def sharded_count(
     return np.asarray(total)[0], np.asarray(lo), np.asarray(hi)
 
 
+def sharded_count_2d(
+    mesh: Mesh,
+    arrays: ShardedFMArrays,
+    codes: np.ndarray,
+    data_axis: str = "data",
+    shard_axis: str = "shard",
+) -> np.ndarray:
+    """Fully composed 2-D parallelism: the query batch shards over the
+    `data` axis while the index shards over the `shard` axis — every
+    device holds one (query-slice, index-shard) tile; global gocc is the
+    psum over the shard axis only. Returns total counts [N]."""
+    shard_map = jax.shard_map
+    n_data = mesh.shape[data_axis]
+    pad = (-codes.shape[0]) % n_data
+    padded = np.concatenate(
+        [codes, np.ones((pad,) + codes.shape[1:], codes.dtype)]
+    ) if pad else codes
+    codes_j = jnp.asarray(padded)
+
+    def kernel(occ, C, sizes, codes_local):
+        occ = occ[0]
+        C = C[0]
+        n = sizes[0]
+        N = codes_local.shape[0]
+        hi0 = jnp.full(N, n, dtype=jnp.int32).astype(jnp.int32)
+        lo0 = jnp.zeros_like(hi0)
+        # carry varies over both mesh axes (index over shard, queries
+        # over data) — align the initial carry's varying axes
+        hi0 = jax.lax.pcast(hi0, (data_axis,), to="varying")
+        lo0 = jax.lax.pcast(lo0, (data_axis,), to="varying")
+
+        def step(state, c):
+            lo, hi = state
+            alive = lo < hi
+            new_lo = C[c] + occ[lo, c - 1]
+            new_hi = C[c] + occ[hi, c - 1]
+            lo = jnp.where(alive, new_lo, lo)
+            hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
+            return (lo, hi), None
+
+        (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes_local.T)
+        return jax.lax.psum(hi - lo, shard_axis)[None]
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(shard_axis), P(shard_axis), P(shard_axis), P(data_axis)),
+        out_specs=P(shard_axis, data_axis),
+    )
+    total = fn(arrays.occ_dense, arrays.C, arrays.sizes, codes_j)
+    # every shard row holds the same psum'd totals for its data slice
+    return np.asarray(total)[0][: codes.shape[0]]
+
+
 def sharded_locate(
     arrays: ShardedFMArrays, lo: np.ndarray, hi: np.ndarray, max_width: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

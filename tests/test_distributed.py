@@ -84,3 +84,40 @@ def test_partition_paths_by_component(data_dir):
         for i in idxs:
             comp_to_shards.setdefault(comp[i], set()).add(s)
     assert all(len(v) == 1 for v in comp_to_shards.values())
+
+
+def test_2d_mesh_data_x_shard():
+    """Composed 2-D parallelism: queries over 'data', index over
+    'shard', one device per tile; psum over shard only."""
+    import jax
+    from jax.sharding import Mesh
+
+    from psi_tpu.ops.fm import keys_to_codes
+    from psi_tpu.ops.kmers import pack_kmers, seq_to_codes
+    from psi_tpu.parallel.distributed import sharded_count_2d
+
+    rng = np.random.RandomState(0)
+    shard_strings = [
+        ["".join(rng.choice(list("ACGT"), size=300)) for _ in range(2)]
+        for _ in range(4)
+    ]
+    fms = [
+        FMIndex.build_from_strings([s[::-1] for s in g])
+        for g in shard_strings
+    ]
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("data", "shard"))
+    arrays = build_sharded_index(fms, mesh2, axis="shard")
+    all_strings = [s for g in shard_strings for s in g]
+    fm_all = FMIndex.build_from_strings([s[::-1] for s in all_strings])
+    k = 10
+    kmers = []
+    for _ in range(37):
+        s = all_strings[rng.randint(len(all_strings))]
+        st = rng.randint(0, len(s) - k + 1)
+        kmers.append(s[st: st + k])
+    keys, _ = pack_kmers(np.stack([seq_to_codes(x) for x in kmers]))
+    codes = keys_to_codes(keys, k)
+    total = sharded_count_2d(mesh2, arrays, codes)
+    expect = np.array([fm_all.count(km[::-1]) for km in kmers])
+    np.testing.assert_array_equal(total, expect)
