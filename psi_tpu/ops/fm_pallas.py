@@ -117,6 +117,126 @@ def backward_search_pallas(
     return lo, hi
 
 
+# --- blocked-gather variant -------------------------------------------------
+#
+# Random occ-row gathers are the latency wall. This variant sorts the
+# pointers, partitions them into groups whose rows fall inside one
+# H-row aligned occ window, DMAs each window HBM->VMEM once (sequential,
+# full-bandwidth traffic), and gathers *within* VMEM. Groups are padded
+# to a fixed size so the kernel grid is static.
+
+H_ROWS = 2048      # occ window height (2048 x 8 x 4B = 64 KB VMEM)
+GROUP = 512        # pointers per grid step (padded)
+
+
+def partition_pointers(pos: np.ndarray):
+    """Host: sort pointers and cut into groups that fit one H_ROWS-aligned
+    occ window with <= GROUP pointers each.
+
+    Returns (order, padded_rel int32 [G, GROUP], window_idx int32 [G],
+    group_of int32 [M]) where pos[order][i] belongs to group group_of[i]
+    at slot i - group_start."""
+    order = np.argsort(pos, kind="stable")
+    sp = pos[order]
+    windows = sp // H_ROWS
+    M = len(sp)
+    if M == 0:
+        return order, np.zeros((1, GROUP), np.int32), np.zeros(1, np.int32), []
+    # vectorized cut: window-change runs, subdivided at GROUP size
+    change = np.nonzero(np.diff(windows))[0] + 1
+    run_starts = np.concatenate([[0], change])
+    run_ends = np.concatenate([change, [M]])
+    n_sub = -(-(run_ends - run_starts) // GROUP)
+    g_run = np.repeat(np.arange(len(run_starts)), n_sub)
+    within = np.arange(len(g_run)) - np.repeat(
+        np.cumsum(n_sub) - n_sub, n_sub
+    )
+    g_starts = run_starts[g_run] + within * GROUP
+    g_ends = np.minimum(g_starts + GROUP, run_ends[g_run])
+    groups = list(zip(windows[g_starts].tolist(), g_starts.tolist(),
+                      g_ends.tolist()))
+    G = len(groups)
+    padded_rel = np.zeros((G, GROUP), dtype=np.int32)
+    window_idx = windows[g_starts].astype(np.int32)
+    # scatter relative offsets into the padded matrix
+    rows = np.repeat(np.arange(G), g_ends - g_starts)
+    cols = np.arange(M) - np.repeat(g_starts, g_ends - g_starts)
+    padded_rel[rows, cols] = (sp - windows * H_ROWS).astype(np.int32)
+    return order, padded_rel, window_idx, groups
+
+
+def _blocked_gather_kernel(window_idx_ref, rel_ref, occ_ref, out_ref):
+    """One grid step: gather GROUP rows from the prefetched occ window."""
+    rel = rel_ref[:]                       # [GROUP] int32
+    out_ref[:, :] = occ_ref[rel, :]        # VMEM gather
+
+
+def blocked_gather_occ(
+    occ_padded: jax.Array, padded_rel: jax.Array, window_idx: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """occ rows for grouped pointers: int32 [G, GROUP, 8].
+
+    occ_padded must be padded to a multiple of H_ROWS rows.
+    """
+    G = padded_rel.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # window_idx drives the occ BlockSpec
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, GROUP),
+                lambda g, widx: (g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (H_ROWS, 8),
+                lambda g, widx: (widx[g], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, GROUP, 8), lambda g, widx: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def kernel(widx_ref, rel_ref, occ_ref, out_ref):
+        out_ref[0, :, :] = occ_ref[rel_ref[0, :], :]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((G, GROUP, 8), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(window_idx, padded_rel, occ_padded)
+
+
+def gather_occ_rows_blocked(
+    occ_padded_np: np.ndarray, positions: np.ndarray, interpret: bool = False
+) -> np.ndarray:
+    """End-to-end blocked gather: positions [M] -> occ rows [M, 8]."""
+    n_rows = occ_padded_np.shape[0]
+    pad_rows = (-n_rows) % H_ROWS
+    if pad_rows:
+        occ_padded_np = np.concatenate(
+            [occ_padded_np,
+             np.zeros((pad_rows, occ_padded_np.shape[1]), occ_padded_np.dtype)]
+        )
+    order, padded_rel, window_idx, groups = partition_pointers(positions)
+    rows = blocked_gather_occ(
+        jnp.asarray(occ_padded_np), jnp.asarray(padded_rel),
+        jnp.asarray(window_idx), interpret=interpret,
+    )
+    rows = np.asarray(rows)
+    out_sorted = np.empty((len(positions), occ_padded_np.shape[1]), np.int32)
+    for gi, (w, s, e) in enumerate(groups):
+        out_sorted[s:e] = rows[gi, : e - s]
+    out = np.empty_like(out_sorted)
+    out[order] = out_sorted
+    return out
+
+
 def occ_dense_padded(fm) -> np.ndarray:
     """Host: dense per-position occ padded to 8 int32 lanes."""
     n = fm.size

@@ -43,3 +43,14 @@ def test_backward_search_pallas_matches_xla(fm):
     lo_x, hi_x = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
     np.testing.assert_array_equal(np.asarray(lo_p), np.asarray(lo_x))
     np.testing.assert_array_equal(np.asarray(hi_p), np.asarray(hi_x))
+
+
+def test_blocked_gather_matches_direct(fm):
+    from psi_tpu.ops.fm_pallas import gather_occ_rows_blocked, occ_dense_padded
+
+    occ8 = occ_dense_padded(fm)
+    rng = np.random.RandomState(7)
+    for M in (1, 64, 700, 2500):
+        pos = rng.randint(0, fm.size + 1, size=M).astype(np.int32)
+        rows = gather_occ_rows_blocked(occ8, pos, interpret=True)
+        np.testing.assert_array_equal(rows, occ8[pos])
