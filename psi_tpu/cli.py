@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-D", "--disable-log", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument(
+        "--mismatches", type=int, default=0,
+        help="allowed mismatches per seed (extension: the reference "
+        "declares but never implements approximate matching)",
+    )
+    p.add_argument(
         "--device", choices=["auto", "tpu", "cpu"], default="auto",
         help="compute platform for the batched engines",
     )
@@ -141,6 +146,7 @@ def main(argv: Optional[list] = None) -> int:
         args.seed_length,
         gocc_threshold=args.gocc_threshold,
         max_mem=args.max_mem,
+        seed_mismatches=args.mismatches,
         stats=stats,
     )
 
