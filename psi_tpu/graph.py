@@ -207,6 +207,44 @@ class Graph:
         bounds = ranks + [self.node_count + 1]
         return [(bounds[i], bounds[i + 1]) for i in range(len(ranks))]
 
+    # --- serialization ------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Binary graph cache (arrays as-is; avoids re-parsing chr-scale
+        GFA/vg inputs on every run)."""
+        np.savez_compressed(
+            path,
+            coord_ids=self.coord_ids,
+            labels=self.labels,
+            label_offsets=self.label_offsets,
+            out_indptr=self.out_indptr,
+            out_indices=self.out_indices,
+            in_indptr=self.in_indptr,
+            in_indices=self.in_indices,
+            path_names=np.array([n for n, _ in self.paths], dtype=object),
+            path_indptr=np.cumsum(
+                [0] + [len(nodes) for _, nodes in self.paths]
+            ).astype(np.int64),
+            path_nodes=(
+                np.concatenate([nodes for _, nodes in self.paths])
+                if self.paths
+                else np.zeros(0, dtype=np.int64)
+            ),
+        )
+
+    @staticmethod
+    def load(path: str) -> "Graph":
+        z = np.load(path, allow_pickle=True)
+        indptr = z["path_indptr"]
+        paths = [
+            (str(name), z["path_nodes"][indptr[i]: indptr[i + 1]])
+            for i, name in enumerate(z["path_names"])
+        ]
+        return Graph(
+            z["coord_ids"], z["labels"], z["label_offsets"],
+            z["out_indptr"], z["out_indices"],
+            z["in_indptr"], z["in_indices"], paths,
+        )
+
     # --- construction -------------------------------------------------------
     @staticmethod
     def from_parts(
