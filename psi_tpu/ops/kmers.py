@@ -131,6 +131,30 @@ def extract_kmers(
     seedmap rows are (read_index, read_offset) — the SeedMap equivalent
     (ref: sequence.hpp:1148-1220).
     """
+    # fast path: equal-length reads pack column-wise over strided views
+    # (no (N, k) window intermediate — k passes over small columns)
+    if seqs and not greedy_tail:
+        L = len(seqs[0])
+        if L >= k and all(len(s) == L for s in seqs):
+            R = len(seqs)
+            codes = ACGT_CODE[
+                np.frombuffer("".join(seqs).encode("ascii"), dtype=np.uint8)
+            ].reshape(R, L)
+            starts = np.arange(0, L - k + 1, step, dtype=np.int64)
+            S = len(starts)
+            keys = np.zeros(R * S, dtype=np.uint64)
+            valid = np.ones(R * S, dtype=bool)
+            for j in range(k):
+                col = codes[:, starts + j].reshape(-1)
+                valid &= col >= 0
+                keys = (keys << np.uint64(2)) | np.where(
+                    col < 0, 0, col
+                ).astype(np.uint64)
+            m = np.empty((R * S, 2), dtype=np.int64)
+            m[:, 0] = np.repeat(np.arange(R), S)
+            m[:, 1] = np.tile(starts, R)
+            return keys, valid, m
+
     keys_parts = []
     valid_parts = []
     map_parts = []

@@ -99,24 +99,33 @@ class SeedsIndex:
         V = len(self.sorted_keys)
         self.size = V
         k = self.k
-        # per-depth char codes of the sorted keys
-        shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)
-        if V:
-            self.chars = (
-                (self.sorted_keys[None, :] >> shifts[:, None]) & np.uint64(3)
-            ).astype(np.uint8)                   # [k, V]
-        else:
-            self.chars = np.zeros((k, 0), dtype=np.uint8)
+        # per-depth char codes of the sorted keys (row-by-row: avoids a
+        # broadcast (k, V) uint64 intermediate, which is slow on this host)
+        self.chars = np.zeros((k, V), dtype=np.uint8)
+        three = np.uint64(3)
+        for d in range(k):
+            shift = np.uint64(2 * (k - 1 - d))
+            self.chars[d] = ((self.sorted_keys >> shift) & three).astype(
+                np.uint8
+            )
         # rank checkpoints per depth: occ[d, b, c] = # of char c in chars[d, :b*BLOCK]
+        from psi_tpu import native
+
         nb = (V + BLOCK - 1) // BLOCK
         self.occ = np.zeros((k, nb + 1, 4), dtype=np.int32)
-        for d in range(k):
-            onehot = np.zeros((V, 4), dtype=np.int32)
-            if V:
-                onehot[np.arange(V), self.chars[d]] = 1
-                csum = np.cumsum(onehot, axis=0)
-                for b in range(1, nb + 1):
-                    self.occ[d, b] = csum[min(b * BLOCK, V) - 1]
+        if V:
+            for d in range(k):
+                occ_d = native.occ_checkpoints(self.chars[d], BLOCK, 4)
+                if occ_d is not None:
+                    self.occ[d] = occ_d
+                else:
+                    block_ends = np.minimum(
+                        np.arange(1, nb + 1) * BLOCK, V
+                    ) - 1
+                    for c in range(4):
+                        self.occ[d, 1:, c] = np.cumsum(
+                            self.chars[d] == c
+                        )[block_ends]
 
     # --- host-side trie descent --------------------------------------------
     def root(self) -> Tuple[int, int]:
