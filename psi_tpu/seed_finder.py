@@ -548,7 +548,7 @@ class SeedFinder:
         within = np.arange(total) - np.repeat(
             np.cumsum(widths) - widths, widths
         )
-        occ_pos = np.asarray(fm.sa)[lo[emit][occ_rows] + within]
+        occ_pos = fm.sa[lo[emit][occ_rows] + within]  # memmap-friendly
         row_per_occ = emit_idx[occ_rows]       # search row (variant)
         ui_per_occ = origin[row_per_occ]       # seed group of the hit
         sid, q = fm.text_pos_to_string(occ_pos)
