@@ -238,8 +238,12 @@ struct Haplotyper {
   int64_t setback = 0;
   bool raise_on_end = false;
   bool ended_flag = false;  // set when ++ hits a sink with raise_on_end
+  int64_t steps = 0;        // walk-length guard: cyclic graphs are out of
+  int64_t max_steps = 0;    // contract (psikt requires topological order)
+                            // but must terminate, not hang
 
   void init(int64_t s) {
+    steps = 0;
     start = s;
     value = s;
     visiting.clear();
@@ -283,7 +287,7 @@ struct Haplotyper {
   // returns false when iteration ended (value==0); sets ended_flag if
   // raise_on_end (mirrors the range_error control flow)
   bool next() {
-    if (g->outdeg(value) == 0) {
+    if (g->outdeg(value) == 0 || (max_steps && ++steps > max_steps)) {
       value = 0;
       if (raise_on_end) ended_flag = true;
       return false;
@@ -335,6 +339,7 @@ struct Haplotyper {
 
   void restart() {
     value = start;
+    steps = 0;
     visiting.clear();
     entropy = 1;
     if (setback > 1) {
@@ -463,6 +468,7 @@ void* psi_pick_paths(int64_t n_nodes, const int64_t* node_len,
   Haplotyper hp;
   hp.g = &g;
   hp.rand_fn = rand_fn;
+  hp.max_steps = 4 * n_nodes + 1024;  // cycle guard
   hp.init(region_starts[0] ? region_starts[0] : 1);
   for (int64_t r = 0; r < n_regions; ++r) {
     hp.init(region_starts[r]);

@@ -233,6 +233,10 @@ class HaplotyperIter:
             start = graph.rank_to_id(1)
         self.start = start
         self.raise_on_end = False
+        # walk-length guard: cyclic graphs are out of contract (psikt
+        # requires topological order) but must terminate, not hang
+        self.max_steps = 4 * graph.node_count + 1024
+        self._steps = 0
         self._init_state(start)
         self.visited: List[HaplotypePath] = []
         self.setback = 0
@@ -255,7 +259,8 @@ class HaplotyperIter:
 
     def next(self):
         g = self.graph
-        if not g.has_edges_out(self.value):
+        self._steps += 1
+        if not g.has_edges_out(self.value) or self._steps > self.max_steps:
             self.value = None
             if self.raise_on_end:
                 raise EndOfIteration
@@ -306,6 +311,7 @@ class HaplotyperIter:
     def restart(self):
         """Discard the current walk and restart (ref `(*this)--`)."""
         self.value = self.start
+        self._steps = 0
         self.visiting = []
         self.entropy = 1
         if self.setback > 1:

@@ -110,3 +110,33 @@ def test_pathindex_context_guard_on_load(data_dir, tmp_path):
 
     f3 = SeedFinder(g, 10)
     assert f3.load_path_index(prefix, context=10)
+
+
+def test_cyclic_graph_terminates():
+    """Cyclic graphs are out of contract (psikt requires topological
+    order) but every stage must terminate, not hang."""
+    from psi_tpu.graph import Graph, Position
+    from psi_tpu.dindex import DistanceIndex
+    from psi_tpu.records import Records, SeedsIndex, seeding
+    from psi_tpu.ops import traverse as trav
+
+    g = Graph.from_parts(
+        {1: "ACGTAC", 2: "GGA", 3: "TTC"},
+        [(1, 2), (2, 3), (3, 2)],
+        [("x", [1, 2, 3])],
+    )
+    reads = Records(["r0"], ["GGATTCGGATTC"])
+    seeds = seeding(reads, 12, 12)
+    idx = SeedsIndex(seeds)
+    loci = [Position(n, o) for n in (1, 2, 3) for o in range(g.node_length(n))]
+    hits = trav.traverse_host(g, idx, loci, 12)
+    assert (2, 0, 0, 1, 12) in hits  # the cycle-crossing read is found
+
+    di = DistanceIndex.build(g, 3, 8)
+    assert di.verify(g, 2, 0, 2, 0) is False
+
+    finder = SeedFinder(g, 6)
+    finder.pick_paths(2, patched=True, context=6)
+    finder.index_paths()
+    finder.add_uncovered_loci()
+    assert len(finder.pindex) == 2
