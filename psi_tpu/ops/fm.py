@@ -23,12 +23,14 @@ from psi_tpu.fmindex import BLOCK, FMIndex, SIGMA
 class FMArrays(NamedTuple):
     """Device-resident FM index.
 
-    Two rank layouts:
+    Three rank layouts:
       * checkpointed (compact): occ rows every BLOCK positions + BWT
-        blocks for the intra-block count (~1.3 bytes/bp);
-      * dense (fast): a full per-position occ table for the 4 query
-        symbols — one gather per rank, no intra-block pass (16 bytes/bp;
-        the TPU trade: spend HBM to kill the latency-bound inner loop).
+        byte blocks for the intra-block count (~1.3 bytes/bp);
+      * bit-plane: occ rows + 3 bit-planes of the BWT packed 32/word —
+        intra-block count is XOR/AND + popcount over 12 words (~0.4
+        bytes/bp of gather traffic per rank);
+      * dense (fast on CPU): full per-position occ table — one gather
+        per rank, no intra-block pass (16 bytes/bp).
     """
 
     bwt_blocks: jax.Array   # uint8 [nblocks+1, BLOCK] (padded with 255)
@@ -37,9 +39,14 @@ class FMArrays(NamedTuple):
     sa: jax.Array           # int32 [n]
     n: int                  # text length (static)
     occ_dense: Optional[jax.Array] = None  # int32 [n+1, 4] (ACGT only)
+    planes: Optional[jax.Array] = None     # uint32 [nblocks+1, 3, WORDS]
+
+WORDS = BLOCK // 32
 
 
-def to_device(fm: FMIndex, dense_occ: bool = False) -> FMArrays:
+def to_device(
+    fm: FMIndex, dense_occ: bool = False, bitplanes: bool = False
+) -> FMArrays:
     n = fm.size
     nblocks = (n + BLOCK - 1) // BLOCK
     # one spare block: position n (range end) may index block nblocks
@@ -50,6 +57,18 @@ def to_device(fm: FMIndex, dense_occ: bool = False) -> FMArrays:
         dense = np.zeros((n + 1, 4), dtype=np.int32)
         for c in range(1, 5):  # ACGT codes
             dense[1:, c - 1] = np.cumsum(fm.bwt == c, dtype=np.int32)
+    planes = None
+    if bitplanes:
+        # bit p of the symbol at block position i -> word i//32 bit i%32
+        sym = bwt_pad.reshape(-1, BLOCK).astype(np.uint32)
+        planes_np = np.zeros((nblocks + 1, 3, WORDS), dtype=np.uint32)
+        weights = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+        for p in range(3):
+            bits = ((sym >> p) & 1).reshape(nblocks + 1, WORDS, 32)
+            planes_np[:, p, :] = (bits * weights[None, None, :]).sum(
+                axis=2, dtype=np.uint32
+            )
+        planes = jnp.asarray(planes_np)
     return FMArrays(
         bwt_blocks=jnp.asarray(bwt_pad.reshape(nblocks + 1, BLOCK)),
         occ=jnp.asarray(fm.occ.astype(np.int32)),
@@ -57,7 +76,43 @@ def to_device(fm: FMIndex, dense_occ: bool = False) -> FMArrays:
         sa=jnp.asarray(fm.sa.astype(np.int32)),
         n=n,
         occ_dense=jnp.asarray(dense) if dense_occ else None,
+        planes=planes,
     )
+
+
+def _rank_bitplane(arrays: FMArrays, c: jax.Array, i: jax.Array) -> jax.Array:
+    """Batched rank via bit-plane popcount. c,i int32 [N]."""
+    b = i // BLOCK
+    base = arrays.occ[b, c]
+    pl_rows = arrays.planes[b]                     # [N, 3, WORDS] uint32
+    cb = c.astype(jnp.uint32)
+    match = jnp.full(pl_rows.shape[::2], 0, dtype=jnp.uint32)  # placeholder
+    ones = jnp.uint32(0xFFFFFFFF)
+    m = ones
+    planes0 = pl_rows[:, 0, :]
+    planes1 = pl_rows[:, 1, :]
+    planes2 = pl_rows[:, 2, :]
+    bit0 = (cb & 1).astype(jnp.uint32)[:, None]
+    bit1 = ((cb >> 1) & 1).astype(jnp.uint32)[:, None]
+    bit2 = ((cb >> 2) & 1).astype(jnp.uint32)[:, None]
+    w0 = jnp.where(bit0 == 1, planes0, ~planes0)
+    w1 = jnp.where(bit1 == 1, planes1, ~planes1)
+    w2 = jnp.where(bit2 == 1, planes2, ~planes2)
+    match = w0 & w1 & w2                           # [N, WORDS]
+    # prefix mask for position r = i % BLOCK
+    r = (i % BLOCK).astype(jnp.uint32)
+    widx = jnp.arange(WORDS, dtype=jnp.uint32)[None, :]
+    full = (widx < (r[:, None] // 32)).astype(jnp.uint32) * jnp.uint32(
+        0xFFFFFFFF
+    )
+    partial_bits = jnp.where(
+        widx == (r[:, None] // 32),
+        (jnp.uint32(1) << (r[:, None] % 32)) - jnp.uint32(1),
+        jnp.uint32(0),
+    )
+    mask = full | partial_bits
+    counts = jax.lax.population_count(match & mask)
+    return base + jnp.sum(counts, axis=1).astype(jnp.int32)
 
 
 def _rank(arrays: FMArrays, c: jax.Array, i: jax.Array) -> jax.Array:
@@ -94,6 +149,9 @@ def backward_search_codes(
     if arrays.occ_dense is not None:
         def rank(c, i):
             return arrays.occ_dense[i, c - 1]
+    elif arrays.planes is not None:
+        def rank(c, i):
+            return _rank_bitplane(arrays, c, i)
     else:
         def rank(c, i):
             return _rank(arrays, c, i)

@@ -67,6 +67,22 @@ try:
 except Exception as e:
     out["pallas_blocked_error"] = repr(e)[:200]
 
+# full backward-search throughput per rank layout
+from psi_tpu.ops import fm as fm_ops
+codes = jnp.asarray(np.random.RandomState(1).randint(1, 5, (1 << 19, 20)).astype(np.int32))
+for name, arr in (
+    ("checkpointed", fm_ops.to_device(fm)),
+    ("bitplane", fm_ops.to_device(fm, bitplanes=True)),
+    ("dense", fm_ops.to_device(fm, dense_occ=True)),
+):
+    t = time.time()
+    lo, hi = fm_ops.backward_search_codes(arr, codes); np.asarray(lo)
+    out[f"bs_{name}_compile_s"] = round(time.time() - t, 1)
+    t = time.time()
+    for _ in range(3):
+        lo, hi = fm_ops.backward_search_codes(arr, codes); np.asarray(lo)
+    out[f"bs_{name}_kmers_per_s"] = round(codes.shape[0] / ((time.time()-t)/3), 1)
+
 import json
 print("RESULT " + json.dumps(out))
 """

@@ -168,3 +168,21 @@ def test_device_backward_search_matches_host():
         got = sorted(pos[i][mask[i]].tolist())
         expect = sorted(fm.locate(lo[i], hi[i]).tolist())
         assert got == expect
+
+
+def test_bitplane_rank_matches_checkpointed():
+    rng = np.random.RandomState(21)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(50, 400)))
+        for _ in range(5)
+    ]
+    fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+    import jax.numpy as jnp
+
+    a_ck = fm_ops.to_device(fm)
+    a_bp = fm_ops.to_device(fm, bitplanes=True)
+    codes = rng.randint(1, 5, (256, 13)).astype(np.int32)
+    l1, h1 = fm_ops.backward_search_codes(a_ck, jnp.asarray(codes))
+    l2, h2 = fm_ops.backward_search_codes(a_bp, jnp.asarray(codes))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
