@@ -86,9 +86,6 @@ def _rank_bitplane(arrays: FMArrays, c: jax.Array, i: jax.Array) -> jax.Array:
     base = arrays.occ[b, c]
     pl_rows = arrays.planes[b]                     # [N, 3, WORDS] uint32
     cb = c.astype(jnp.uint32)
-    match = jnp.full(pl_rows.shape[::2], 0, dtype=jnp.uint32)  # placeholder
-    ones = jnp.uint32(0xFFFFFFFF)
-    m = ones
     planes0 = pl_rows[:, 0, :]
     planes1 = pl_rows[:, 1, :]
     planes2 = pl_rows[:, 2, :]
