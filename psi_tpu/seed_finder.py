@@ -447,10 +447,21 @@ class SeedFinder:
 
     def _get_fm_arrays(self):
         if self._fm_arrays is None and self.pindex.fm is not None:
+            import jax
+
             from psi_tpu.ops import fm as fm_ops
 
-            dense = self.pindex.fm.size * 16 <= self.DENSE_OCC_BUDGET
-            self._fm_arrays = fm_ops.to_device(self.pindex.fm, dense_occ=dense)
+            # layout by platform: the dense per-position occ wins on CPU
+            # (hardware-prefetched gathers); on TPU the low-traffic
+            # bit-plane layout wins (XLA serializes big-table gathers,
+            # while popcount maps onto the VPU) — see docs/BENCH_NOTES.md
+            on_cpu = jax.default_backend() == "cpu"
+            dense = on_cpu and (
+                self.pindex.fm.size * 16 <= self.DENSE_OCC_BUDGET
+            )
+            self._fm_arrays = fm_ops.to_device(
+                self.pindex.fm, dense_occ=dense, bitplanes=not dense
+            )
         return self._fm_arrays
 
     def _get_graph_arrays(self):
