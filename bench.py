@@ -107,13 +107,13 @@ def main():
 
     codes_d = jnp.asarray(codes)
 
-    def run_mode(dense):
-        arrays = fm_ops.to_device(fm, dense_occ=dense)
+    def run_mode(name, **kw):
+        arrays = fm_ops.to_device(fm, **kw)
         t0 = time.monotonic()
         lo, hi = fm_ops.backward_search_codes(arrays, codes_d)
         np.asarray(lo)  # force execution — block_until_ready is deferred
         print(
-            f"# dense={dense} compile+first run: {time.monotonic()-t0:.1f}s",
+            f"# {name} compile+first run: {time.monotonic()-t0:.1f}s",
             file=sys.stderr,
         )
         t0 = time.monotonic()
@@ -123,14 +123,21 @@ def main():
         dt = (time.monotonic() - t0) / iters
         return n_queries / dt, dt, lo, hi
 
-    ck_rate, ck_s, _, _ = run_mode(False)
-    dn_rate, dn_s, lo, hi = run_mode(True)
+    rates = {}
+    for name, kw in (
+        ("checkpointed", {}),
+        ("bitplane", {"bitplanes": True}),
+        ("dense", {"dense_occ": True}),
+    ):
+        rate, dt, lo, hi = run_mode(name, **kw)
+        rates[name] = (rate, dt)
     print(
-        f"# checkpointed: {ck_rate:.3e} kmers/s; dense-occ: {dn_rate:.3e} kmers/s",
+        "# "
+        + "; ".join(f"{k}: {v[0]:.3e} kmers/s" for k, v in rates.items()),
         file=sys.stderr,
     )
-    device_rate = max(ck_rate, dn_rate)
-    device_s = min(ck_s, dn_s)
+    best = max(rates, key=lambda k: rates[k][0])
+    device_rate, device_s = rates[best]
 
     # host single-core baseline on a sample
     n_host = min(2000, n_queries)
