@@ -196,3 +196,56 @@ def count_kmers_device(fm: FMIndex, keys: np.ndarray, k: int) -> np.ndarray:
     arrays = to_device(fm)
     lo, hi = backward_search_codes(arrays, jnp.asarray(keys_to_codes(keys, k)))
     return np.asarray(hi - lo)
+
+
+# --- device-side locate + SA-position -> graph-locus mapping -----------------
+#
+# The batched equivalent of PathIndex::position_to_id/position_to_offset
+# (ref: pathindex.hpp:360-416 incl. the Reversed-text end-position fixup)
+# executed on device: SA gather, string-id binary search, forward-offset
+# flip, and node rank/select (ref: path_interface.hpp:172-197) — so the
+# whole on-path query (search + locate + map) stays on device between
+# chunk boundaries; only (node_id, node_offset) columns come back.
+
+
+class MapArrays(NamedTuple):
+    """Device-resident SA-position -> (node_id, node_offset) mapping."""
+
+    str_starts: jax.Array  # int32 [m+1] flat-text start of each string
+    lengths: jax.Array     # int32 [m]   string lengths (no sentinel)
+    seq_off: jax.Array     # int32 [m+1] forward global seq offset per path
+    starts: jax.Array      # int32 [E]   global seq start per path-node entry
+    ids: jax.Array         # int32 [E]   node id per entry
+    base: jax.Array        # int32 [E]   head-offset base per entry
+
+
+def map_to_device(fm: FMIndex, path_map: dict) -> MapArrays:
+    return MapArrays(
+        str_starts=jnp.asarray(fm.str_starts.astype(np.int32)),
+        lengths=jnp.asarray(fm.lengths.astype(np.int32)),
+        seq_off=jnp.asarray(path_map["seq_off"].astype(np.int32)),
+        starts=jnp.asarray(path_map["starts"].astype(np.int32)),
+        ids=jnp.asarray(path_map["ids"].astype(np.int32)),
+        base=jnp.asarray(path_map["base"].astype(np.int32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def locate_map_device(
+    arrays: FMArrays, maps: MapArrays, sa_idx: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Map absolute SA indices to (node_id, node_offset) on device.
+
+    sa_idx: int32 [T] (pad entries may repeat a valid index; the caller
+    masks them out). k = match length used in the reversed-text
+    end-position flip (ref: pathindex.hpp:378-387).
+    """
+    pos = arrays.sa[sa_idx]
+    sid = jnp.searchsorted(maps.str_starts, pos, side="right") - 1
+    q = pos - maps.str_starts[sid]
+    fwd = maps.lengths[sid] - q - k
+    gpos = maps.seq_off[sid] + fwd
+    entry = jnp.searchsorted(maps.starts, gpos, side="right") - 1
+    node_id = maps.ids[entry]
+    node_off = gpos - maps.starts[entry] + maps.base[entry]
+    return node_id, node_off

@@ -55,6 +55,7 @@ class SeedFinder:
         self._fm_arrays = None
         self._graph_arrays = None
         self._path_map = None
+        self._map_arrays = None
 
     # === path picking =======================================================
     def _set_context(self, context: int, patched: bool) -> int:
@@ -128,6 +129,7 @@ class SeedFinder:
             self.pindex.create_index()
             self._build_path_map()
             self._fm_arrays = None
+            self._map_arrays = None
 
     def _build_path_map(self):
         """Flat arrays mapping a global forward path position to
@@ -417,6 +419,7 @@ class SeedFinder:
                 return False
             self._build_path_map()
             self._fm_arrays = None
+            self._map_arrays = None
         if not self.open_starts(prefix, self.seed_len, step_size):
             self.add_uncovered_loci(step_size)
             self.save_starts(prefix, self.seed_len, step_size)
@@ -463,6 +466,26 @@ class SeedFinder:
                 self.pindex.fm, dense_occ=dense, bitplanes=not dense
             )
         return self._fm_arrays
+
+    def _get_map_arrays(self):
+        if self._map_arrays is None and self._path_map is not None:
+            from psi_tpu.ops import fm as fm_ops
+
+            self._map_arrays = fm_ops.map_to_device(
+                self.pindex.fm, self._path_map
+            )
+        return self._map_arrays
+
+    @staticmethod
+    def _device_locate_enabled() -> bool:
+        """Device-side locate+map: on by default off-CPU (keeps the whole
+        on-path query on device); NumPy wins on the CPU backend."""
+        env = os.environ.get("PSI_DEVICE_LOCATE")
+        if env is not None:
+            return env not in ("0", "")
+        import jax
+
+        return jax.default_backend() != "cpu"
 
     def _get_graph_arrays(self):
         if self._graph_arrays is None:
@@ -559,15 +582,28 @@ class SeedFinder:
         within = np.arange(total) - np.repeat(
             np.cumsum(widths) - widths, widths
         )
-        occ_pos = fm.sa[lo[emit][occ_rows] + within]  # memmap-friendly
+        sa_idx = lo[emit][occ_rows] + within
         row_per_occ = emit_idx[occ_rows]       # search row (variant)
         ui_per_occ = origin[row_per_occ]       # seed group of the hit
-        sid, q = fm.text_pos_to_string(occ_pos)
-        fwd = pm["lengths"][sid] - q - k
-        gpos = pm["seq_off"][sid] + fwd
-        entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
-        node_ids = pm["ids"][entry]
-        node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+        if total and self._device_locate_enabled():
+            # device route: SA gather + string-id search + node map all
+            # on device; pad to a power-of-two bucket to bound recompiles
+            pad = max(16, 1 << (total - 1).bit_length())
+            sa_idx_p = np.zeros(pad, dtype=np.int32)
+            sa_idx_p[:total] = sa_idx
+            d_ids, d_offs = fm_ops.locate_map_device(
+                arrays, self._get_map_arrays(), jnp.asarray(sa_idx_p), k
+            )
+            node_ids = np.asarray(d_ids)[:total].astype(np.int64)
+            node_offs = np.asarray(d_offs)[:total].astype(np.int64)
+        else:
+            occ_pos = fm.sa[sa_idx]  # memmap-friendly
+            sid, q = fm.text_pos_to_string(occ_pos)
+            fwd = pm["lengths"][sid] - q - k
+            gpos = pm["seq_off"][sid] + fwd
+            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+            node_ids = pm["ids"][entry]
+            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
 
         # cross product: repeat each occurrence by its k-mer's seed count
         n_seeds_per_ui = (uniq_end - uniq_start)[ui_per_occ]

@@ -193,3 +193,25 @@ def test_seeds_all_covers_reads(data_dir):
     finder.seeds_all(seeds, index, lambda h: hits.append(h))
     covered = {h.read_id for h in hits}
     assert covered == set(range(10))
+
+
+def test_device_locate_route_matches_host(data_dir, monkeypatch):
+    """The device-side locate+map (ops/fm.locate_map_device) must produce
+    the exact hit multiset of the host NumPy route."""
+    graph = load_vg(str(data_dir / "small" / "x.vg"))
+    names, seqs = read_fastq(
+        str(data_dir / "small" / "reads_n10000l100e0i0.fastq"), 200
+    )
+    reads = Records(names, seqs)
+
+    def run(env_val):
+        monkeypatch.setenv("PSI_DEVICE_LOCATE", env_val)
+        finder = SeedFinder(graph, 20)
+        finder.pick_paths(2, patched=True, context=20)
+        finder.index_paths()
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        arr = finder.seeds_on_paths_arrays(seeds, index)
+        return sorted(map(tuple, arr.tolist()))
+
+    assert run("1") == run("0")
