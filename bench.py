@@ -123,11 +123,14 @@ def main():
         dt = (time.monotonic() - t0) / iters
         return n_queries / dt, dt, lo, hi
 
+    ftab_bits = int(os.environ.get("PSI_BENCH_FTAB", "11"))
     rates = {}
     for name, kw in (
         ("checkpointed", {}),
         ("bitplane", {"bitplanes": True}),
         ("dense", {"dense_occ": True}),
+        ("bitplane+ftab", {"bitplanes": True, "ftab_bits": ftab_bits}),
+        ("dense+ftab", {"dense_occ": True, "ftab_bits": ftab_bits}),
     ):
         rate, dt, lo, hi = run_mode(name, **kw)
         rates[name] = (rate, dt)

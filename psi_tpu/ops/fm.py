@@ -40,12 +40,16 @@ class FMArrays(NamedTuple):
     n: int                  # text length (static)
     occ_dense: Optional[jax.Array] = None  # int32 [n+1, 4] (ACGT only)
     planes: Optional[jax.Array] = None     # uint32 [nblocks+1, 3, WORDS]
+    ftab: Optional[jax.Array] = None       # int32 [4**p, 2] prefix SA ranges
 
 WORDS = BLOCK // 32
 
 
 def to_device(
-    fm: FMIndex, dense_occ: bool = False, bitplanes: bool = False
+    fm: FMIndex,
+    dense_occ: bool = False,
+    bitplanes: bool = False,
+    ftab_bits: int = 0,
 ) -> FMArrays:
     n = fm.size
     nblocks = (n + BLOCK - 1) // BLOCK
@@ -69,7 +73,7 @@ def to_device(
                 axis=2, dtype=np.uint32
             )
         planes = jnp.asarray(planes_np)
-    return FMArrays(
+    arrays = FMArrays(
         bwt_blocks=jnp.asarray(bwt_pad.reshape(nblocks + 1, BLOCK)),
         occ=jnp.asarray(fm.occ.astype(np.int32)),
         C=jnp.asarray(fm.C.astype(np.int32)),
@@ -78,6 +82,40 @@ def to_device(
         occ_dense=jnp.asarray(dense) if dense_occ else None,
         planes=planes,
     )
+    if ftab_bits and n and fm.sigma == SIGMA:
+        arrays = arrays._replace(ftab=jnp.asarray(build_ftab(fm, ftab_bits)))
+    return arrays
+
+
+def build_ftab(fm: FMIndex, p: int) -> np.ndarray:
+    """SA ranges for every length-p ACGT prefix ("ftab": replaces the
+    first p LF steps of every query with one table gather — the batched
+    analogue of seeding backward search from a precomputed range).
+
+    Built on host by level extension: ranges of length-(j+1) prefixes
+    are one LF step from the length-j ranges, so the whole table costs
+    ~4**p/3 rank pairs (searchsorted over per-symbol BWT position
+    lists) instead of p*4**p, and no device compiles. Key layout
+    matches keys_to_codes: first char is most significant, so
+    key(x·c) = 4*key(x) + (c-1). Returns int32 [4**p, 2].
+    """
+    if not 1 <= p <= 14:
+        raise ValueError(f"ftab depth {p} out of range (4**p rows)")
+    C = fm.C.astype(np.int64)
+    pos = [np.flatnonzero(fm.bwt == c) for c in range(1, 5)]
+    lo = C[1:5].copy()
+    hi = C[2:6].copy()
+    for _ in range(p - 1):
+        nl = np.empty(4 * lo.shape[0], dtype=np.int64)
+        nh = np.empty_like(nl)
+        for ci in range(4):
+            # new index 4*i + ci <=> slice(ci, None, 4); rank(c, i) =
+            # C-offset + #positions of c before i (monotone, so empty
+            # ranges stay empty with no alive mask)
+            nl[ci::4] = C[ci + 1] + np.searchsorted(pos[ci], lo)
+            nh[ci::4] = C[ci + 1] + np.searchsorted(pos[ci], hi)
+        lo, hi = nl, nh
+    return np.stack([lo, hi], axis=1).astype(np.int32)
 
 
 def _rank_bitplane(arrays: FMArrays, c: jax.Array, i: jax.Array) -> jax.Array:
@@ -136,12 +174,36 @@ def backward_search_codes(
     Uses the dense occ table when present (one gather per rank),
     otherwise the checkpointed layout.
 
-    Returns (lo, hi) int32 [N]; empty ranges have lo == hi.
+    Returns (lo, hi) int32 [N]; empty ranges have lo == hi (the
+    common value is unspecified — it differs between the stepping and
+    ftab routes; consumers must only use hi - lo and, when non-empty,
+    lo).
     """
     n = arrays.n
     N = codes.shape[0]
+    k = codes.shape[1]
     lo0 = jnp.zeros(N, dtype=jnp.int32)
     hi0 = jnp.full(N, n, dtype=jnp.int32)
+
+    # ftab fast path: one gather covers the first p LF steps. Patterns
+    # with a non-ACGT code in the first p chars resolve to an EMPTY
+    # range (the engine never queries such patterns: seeds containing
+    # N are excluded from matching, ref: sequence.hpp seeding / 'N'
+    # kills in index_iter.hpp:838-841).
+    rest = codes
+    if arrays.ftab is not None:
+        p = (arrays.ftab.shape[0].bit_length() - 1) // 2
+        if 0 < p <= k:
+            pref = codes[:, :p]
+            ok = jnp.all((pref >= 1) & (pref <= 4), axis=1)
+            weights = (
+                jnp.uint32(1) << jnp.uint32(2 * (p - 1 - np.arange(p)))
+            ).astype(jnp.int32)
+            pk = jnp.sum((pref - 1) * weights[None, :], axis=1)
+            start = arrays.ftab[jnp.clip(pk, 0, arrays.ftab.shape[0] - 1)]
+            lo0 = jnp.where(ok, start[:, 0], 0)
+            hi0 = jnp.where(ok, start[:, 1], 0)
+            rest = codes[:, p:]
 
     if arrays.occ_dense is not None:
         def rank(c, i):
@@ -162,7 +224,7 @@ def backward_search_codes(
         hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
         return (lo, hi), None
 
-    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), rest.T)
     return lo, hi
 
 

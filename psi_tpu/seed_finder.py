@@ -447,6 +447,21 @@ class SeedFinder:
     #: dense per-position occ table budget (bytes); texts whose dense
     #: table fits use the gather-only rank fast path
     DENSE_OCC_BUDGET = int(os.environ.get("PSI_DENSE_OCC_BUDGET", 2 << 30))
+    #: largest prefix-table depth (4**p SA-range rows; 11 -> 32 MB)
+    FTAB_MAX_BITS = int(os.environ.get("PSI_FTAB_MAX_BITS", 11))
+
+    def _ftab_bits(self) -> int:
+        """Prefix-table depth: one ftab gather replaces the first p LF
+        steps of every k-mer query. Sized so the table never dwarfs the
+        text (p <= log4 n) and never exceeds the seed length."""
+        env = os.environ.get("PSI_FTAB_BITS")
+        if env is not None:
+            # clamp: depths beyond the seed length are never consulted,
+            # and 4**p rows past ~13 would swamp host memory
+            return max(min(int(env), self.seed_len, 13), 0)
+        n = self.pindex.fm.size
+        log4 = max((int(n).bit_length() - 1) // 2, 0)
+        return max(min(self.FTAB_MAX_BITS, self.seed_len, log4), 0)
 
     def _get_fm_arrays(self):
         if self._fm_arrays is None and self.pindex.fm is not None:
@@ -463,7 +478,10 @@ class SeedFinder:
                 self.pindex.fm.size * 16 <= self.DENSE_OCC_BUDGET
             )
             self._fm_arrays = fm_ops.to_device(
-                self.pindex.fm, dense_occ=dense, bitplanes=not dense
+                self.pindex.fm,
+                dense_occ=dense,
+                bitplanes=not dense,
+                ftab_bits=self._ftab_bits(),
             )
         return self._fm_arrays
 

@@ -186,3 +186,60 @@ def test_bitplane_rank_matches_checkpointed():
     l2, h2 = fm_ops.backward_search_codes(a_bp, jnp.asarray(codes))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_ftab_matches_plain_search():
+    # texts incl. N's (ftab covers ACGT prefixes; N-rows -> empty)
+    rng = np.random.RandomState(31)
+    strings = [
+        "".join(rng.choice(list("ACGTACGTN"), size=rng.randint(60, 300)))
+        for _ in range(4)
+    ]
+    fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+    import jax.numpy as jnp
+
+    k = 12
+    codes = rng.randint(1, 5, (300, k)).astype(np.int32)
+    # make some rows true substrings so non-empty ranges are exercised
+    lut = {c: i + 1 for i, c in enumerate("ACGT")}
+    row = 0
+    for s in strings:
+        for start in range(0, len(s) - k, 17):
+            frag = s[start: start + k]
+            if "N" in frag or row >= 100:
+                continue
+            codes[row] = [lut[c] for c in frag]
+            row += 1
+
+    plain = fm_ops.to_device(fm)
+    for p in (1, 5, k):
+        with_ftab = fm_ops.to_device(fm, ftab_bits=p)
+        assert with_ftab.ftab.shape == (4 ** p, 2)
+        l1, h1 = fm_ops.backward_search_codes(plain, jnp.asarray(codes))
+        l2, h2 = fm_ops.backward_search_codes(with_ftab, jnp.asarray(codes))
+        l1, h1 = np.asarray(l1), np.asarray(h1)
+        l2, h2 = np.asarray(l2), np.asarray(h2)
+        # widths always agree; (lo, hi) agree on non-empty ranges (the
+        # collapsed value of an empty range is route-specific)
+        np.testing.assert_array_equal(h1 - l1, h2 - l2)
+        nz = h1 > l1
+        assert nz.any()
+        np.testing.assert_array_equal(l1[nz], l2[nz])
+
+
+def test_ftab_non_acgt_prefix_is_empty():
+    rng = np.random.RandomState(32)
+    s = "".join(rng.choice(list("ACGTN"), size=500))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    import jax.numpy as jnp
+
+    arrays = fm_ops.to_device(fm, ftab_bits=4)
+    codes = np.full((3, 8), 2, dtype=np.int32)
+    codes[0, 1] = 5  # N inside the ftab prefix
+    codes[1, 2] = 0  # sentinel inside the ftab prefix
+    lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    assert lo[0] == hi[0] and lo[1] == hi[1]
+    # row 2 (pure ACGT) still matches the host search
+    hlo, hhi = fm.backward_search("CCCCCCCC"[::-1])
+    assert (lo[2], hi[2]) == (hlo, hhi)
