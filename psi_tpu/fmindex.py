@@ -226,6 +226,48 @@ class FMIndex:
         sid = np.searchsorted(self.str_starts, pos, side="right") - 1
         return sid, pos - self.str_starts[sid]
 
+    def all_kmers(self, k: int, alphabet: Tuple[int, ...] = (1, 2, 3, 4)):
+        """Enumerate all distinct k-mers present in the indexed text with
+        their counts (the batched equivalent of the reference's next_kmer
+        DFS enumeration, ref: include/psi/index_iter.hpp:630-652).
+
+        Pruned level extension: length-(j+1) ranges are one LF step from
+        the non-empty length-j ranges, so work is proportional to the
+        number of distinct prefixes actually present. Returns
+        (keys uint64 [D] packed 2-bit for the default alphabet — or
+        code-digit base-sigma otherwise — in lexicographic order,
+        counts int64 [D], lo int64 [D] SA range starts).
+        """
+        pos = {c: np.flatnonzero(self.bwt == c) for c in alphabet}
+        keys = np.zeros(0, dtype=np.uint64)
+        lo = np.zeros(0, dtype=np.int64)
+        hi = np.zeros(0, dtype=np.int64)
+        for c in alphabet:  # depth-1 seeds, lexicographic
+            if self.C[c + 1] > self.C[c]:
+                keys = np.append(keys, np.uint64(c - alphabet[0]))
+                lo = np.append(lo, self.C[c])
+                hi = np.append(hi, self.C[c + 1])
+        base = np.uint64(len(alphabet))
+        for level in range(1, k):
+            # LF extension PREPENDS the symbol (backward search), so the
+            # new symbol is the most significant key digit
+            shift = base ** np.uint64(level)
+            nk, nl, nh = [], [], []
+            for ci, c in enumerate(alphabet):
+                pc = pos[c]
+                el = self.C[c] + np.searchsorted(pc, lo)
+                eh = self.C[c] + np.searchsorted(pc, hi)
+                keep = eh > el
+                nk.append(keys[keep] + np.uint64(ci) * shift)
+                nl.append(el[keep])
+                nh.append(eh[keep])
+            keys = np.concatenate(nk)
+            lo = np.concatenate(nl)
+            hi = np.concatenate(nh)
+            order = np.argsort(keys, kind="stable")
+            keys, lo, hi = keys[order], lo[order], hi[order]
+        return keys, (hi - lo).astype(np.int64), lo
+
     def occurrences(self, pattern: str) -> List[Tuple[int, int]]:
         lo, hi = self.backward_search(pattern)
         sid, off = self.text_pos_to_string(self.locate(lo, hi))

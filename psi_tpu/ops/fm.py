@@ -216,13 +216,16 @@ def backward_search_codes(
             return _rank(arrays, c, i)
 
     def step(state, c):
+        # no liveness mask: an empty range stays empty under LF
+        # (lo == hi -> rank(c, lo) == rank(c, hi)), and stepping
+        # everything keeps the batch's positions MONOTONE for sorted
+        # query keys — lo(p)/hi(p) are monotone in the pattern's
+        # lexicographic order whether or not p occurs — which is what
+        # lets the streaming (merge-order) rank kernel work.
         lo, hi = state
-        alive = lo < hi
         new_lo = arrays.C[c] + rank(c, lo)
         new_hi = arrays.C[c] + rank(c, hi)
-        lo = jnp.where(alive, new_lo, lo)
-        hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
-        return (lo, hi), None
+        return (new_lo, new_hi), None
 
     (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), rest.T)
     return lo, hi

@@ -75,7 +75,7 @@ def gather_occ_rows(occ_padded: jax.Array, positions: jax.Array,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -106,12 +106,8 @@ def backward_search_pallas(
         occ_c = jnp.take_along_axis(
             rows, jnp.concatenate([c, c])[:, None] - 1, axis=1
         )[:, 0]
-        alive = lo < hi
-        new_lo = C[c] + occ_c[:N]
-        new_hi = C[c] + occ_c[N:]
-        lo = jnp.where(alive, new_lo, lo)
-        hi = jnp.where(alive, jnp.maximum(new_lo, new_hi), hi)
-        return (lo, hi), None
+        # empty ranges keep stepping (stays empty; see fm.py step note)
+        return (C[c] + occ_c[:N], C[c] + occ_c[N:]), None
 
     (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
     return lo, hi

@@ -1,0 +1,277 @@
+"""Streaming-rank Pallas kernel: batched FM backward search for SORTED
+query batches.
+
+The TPU-native reformulation of HOT LOOP #1 (per-char backward search,
+ref: include/psi/fmindex.hpp:851-869). XLA lowers the rank gathers to a
+serialized dynamic-slice loop (~1e6 rows/s measured on v5e); this path
+removes random access entirely by exploiting an ordering invariant:
+
+  For queries sorted lexicographically, every LF step's (lo, hi)
+  positions are MONOTONE across the batch — lo(p) = |{suffixes < p}|
+  and hi(p) = lo(p) + count(p) are monotone in pattern order, whether
+  or not p occurs — provided empty ranges keep LF-stepping (an empty
+  range stays empty: lo == hi gives rank(c, lo) == rank(c, hi)).
+
+With positions monotone, the per-step rank pass is a streaming MERGE:
+query slabs stream through VMEM via BlockSpec while the kernel walks
+occ-table windows forward; the window sequence over (tile, slab, j) is
+non-decreasing, so a single cached window is DMA'd from HBM once per
+distinct window per step. Per-step HBM traffic = table once + query
+slabs once.
+
+Layout: one transposed payload table with 32-position checkpoint blocks
+
+    payloadT[16, NB]  int32;  rows 0..5 = occ checkpoints (per symbol)
+                              rows 6..8 = BWT bit-plane words (one
+                              32-bit word per plane per block)
+
+so a block's whole rank context is one lane and the intra-block count
+is a single masked popcount. The in-kernel lookup uses the one
+dynamic-gather form the hardware supports natively: a lane gather whose
+source spans a single vreg (Mosaic rejects "multiple source vregs along
+gather dimension") — hence 128-block windows and per-component gathers
+from a broadcast (8, 128) source.
+
+Queries are laid out so each (8, 128) lane-slab holds a CONTIGUOUS run
+of 1024 sorted queries (pos[..., s*1024 : (s+1)*1024]); per-slab window
+bounds come in as scalar prefetch, so a slab is computed once per
+window it actually intersects (usually one).
+
+The seeds-on-paths route queries distinct sorted k-mers (np.unique), so
+this kernel drops in with no extra sort.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from psi_tpu.fmindex import FMIndex
+
+SBLOCK = 32        # text positions per stream checkpoint block
+WB = 128           # blocks per window (one vreg of payloadT lanes)
+SPAN = SBLOCK * WB  # text positions per window
+QROWS = 8
+SLABS = 8
+SLAB_Q = QROWS * WB          # 1024 contiguous queries per slab
+QTILE = SLABS * SLAB_Q       # 8192 queries per grid step
+PAYLOAD_ROWS = 16  # 6 occ + 3 plane words + pad
+
+
+class StreamArrays(NamedTuple):
+    payloadT: jax.Array  # int32 [16, NBpad] (NBpad multiple of WB)
+    C: jax.Array         # int32 [SIGMA+1]
+    n: int               # text length (static)
+    nblocks: int         # real blocks incl. the position-n spare
+
+
+def build_stream_arrays(fm: FMIndex) -> StreamArrays:
+    n = fm.size
+    nblocks = n // SBLOCK + 1  # block of position n always addressable
+    nbpad = -(-nblocks // WB) * WB
+    payload = np.zeros((PAYLOAD_ROWS, nbpad), dtype=np.int32)
+    bwt_pad = np.full(nbpad * SBLOCK, 255, dtype=np.uint8)
+    bwt_pad[:n] = fm.bwt
+    sym = bwt_pad.reshape(nbpad, SBLOCK)
+    for c in range(6):
+        counts = np.count_nonzero(sym == c, axis=1)
+        payload[c, 1:nblocks] = np.cumsum(counts, dtype=np.int64)[
+            : nblocks - 1
+        ].astype(np.int32)
+    # bit-plane words (pad symbol 255 -> plane bits 1,1,1, distinct from
+    # real codes 0..5)
+    weights = np.uint32(1) << np.arange(SBLOCK, dtype=np.uint32)
+    symu = sym.astype(np.uint32)
+    for p in range(3):
+        words = (((symu >> p) & 1) * weights[None, :]).sum(
+            axis=1, dtype=np.uint32
+        )
+        payload[6 + p, :] = words.view(np.int32)
+    return StreamArrays(
+        payloadT=jnp.asarray(payload),
+        C=jnp.asarray(fm.C.astype(np.int32)),
+        n=n,
+        nblocks=nblocks,
+    )
+
+
+def _rank_kernel(wlo_ref, nw_ref, pos_ref, chars_ref, payload_ref, out_ref,
+                 win, cache, sem):
+    """Grid step t: rank(chars, pos) for one (QROWS, 1024) query tile.
+
+    pos must be globally monotone in slab order; the window sequence
+    over (t, s, j) is then non-decreasing, so the cached window is
+    loaded once per distinct window. Symbols must be ACGT codes 1..4.
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        cache[0] = -1
+
+    neg1 = jnp.int32(-1)
+    for s in range(SLABS):
+        lanes = pl.ds(s * WB, WB)
+        poss = pos_ref[:, lanes]            # (8, 128) int32
+        cs = chars_ref[:, lanes]            # (8, 128) int32
+        blk = poss // SBLOCK
+        lane_slab = t * SLABS + s
+
+        def slab_pass(j, _):
+            w = wlo_ref[lane_slab] + j
+
+            @pl.when(w != cache[0])
+            def _():
+                cp = pltpu.make_async_copy(
+                    payload_ref.at[:, pl.ds(w * WB, WB)], win, sem
+                )
+                cp.start()
+                cp.wait()
+                cache[0] = w
+
+            valid = (blk // WB) == w
+            lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+            def gcomp(row):
+                # lane gather from one payload component; source is a
+                # single vreg along the gather dim (hardware limit)
+                src = jnp.broadcast_to(
+                    win[pl.ds(row, 1), :], (QROWS, WB)
+                )
+                return jnp.take_along_axis(src, lbl, axis=1)
+
+            # occ base for the query's own symbol (rows by code 1..4)
+            base = jnp.zeros((QROWS, WB), jnp.int32)
+            for c4 in range(1, 5):
+                base = base + jnp.where(cs == c4, gcomp(c4), 0)
+            # intra-block count: one masked popcount over the matched
+            # plane word; all int32 (two's-complement wraparound gives
+            # the right masks; Mosaic has no unsigned reductions)
+            match = jnp.full((QROWS, WB), neg1)
+            for p in range(3):
+                pw = gcomp(6 + p)
+                bit = (cs >> p) & 1
+                match &= jnp.where(bit == 1, pw, ~pw)
+            maskw = (1 << (poss % SBLOCK)) - 1
+            rank = base + jax.lax.population_count(match & maskw)
+            out_ref[:, lanes] = jnp.where(valid, rank, out_ref[:, lanes])
+            return 0
+
+        out_ref[:, lanes] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], slab_pass, 0)
+
+
+def _rank_stream_call(payloadT, wlo, nw, pos2d, chars2d, interpret):
+    T = pos2d.shape[0] // QROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
+            pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((PAYLOAD_ROWS, WB), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _rank_kernel,
+        out_shape=jax.ShapeDtypeStruct(pos2d.shape, jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wlo, nw, pos2d, chars2d, payloadT)
+
+
+def _to_slab_layout(x: jax.Array) -> jax.Array:
+    """[Mp] -> [T*QROWS, 1024] such that lane-slab s of tile t holds the
+    contiguous run [t*QTILE + s*SLAB_Q, +SLAB_Q) in (row, lane) order."""
+    T = x.shape[0] // QTILE
+    return (
+        x.reshape(T, SLABS, QROWS, WB)
+        .transpose(0, 2, 1, 3)
+        .reshape(T * QROWS, SLABS * WB)
+    )
+
+
+def _from_slab_layout(x2d: jax.Array) -> jax.Array:
+    T = x2d.shape[0] // QROWS
+    return (
+        x2d.reshape(T, QROWS, SLABS, WB)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_stream(
+    arrays: StreamArrays, chars: jax.Array, pos: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched rank(c, i): # of symbol c in bwt[0:i], for MONOTONE pos
+    and ACGT symbols (c in 1..4).
+
+    chars, pos: int32 [M]. Returns int32 [M]. Positions must be
+    non-decreasing (caller invariant; see module docstring).
+    """
+    M = pos.shape[0]
+    Mp = max(-(-M // QTILE) * QTILE, QTILE)
+    posp = jnp.full(Mp, arrays.n, dtype=jnp.int32).at[:M].set(pos)
+    charsp = jnp.ones(Mp, dtype=jnp.int32).at[:M].set(chars)
+    firsts = posp[::SLAB_Q] // SPAN
+    lasts = posp[SLAB_Q - 1:: SLAB_Q] // SPAN
+    wlo = firsts.astype(jnp.int32)
+    nw = (lasts - firsts + 1).astype(jnp.int32)
+    out2d = _rank_stream_call(
+        arrays.payloadT, wlo, nw,
+        _to_slab_layout(posp), _to_slab_layout(charsp), interpret,
+    )
+    return _from_slab_layout(out2d)[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def backward_search_sorted(
+    arrays: StreamArrays,
+    codes: jax.Array,
+    lo0: jax.Array | None = None,
+    hi0: jax.Array | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """SA ranges for a batch of k-mers whose code rows are SORTED
+    lexicographically (e.g. np.unique'd packed keys). Same contract as
+    fm.backward_search_codes otherwise (forward char order, ACGT codes
+    1..4, empty ranges lo == hi at an unspecified value).
+
+    lo0/hi0 optionally seed the search (ftab ranges); they must also be
+    monotone, which ftab ranges of sorted keys are.
+    """
+    n = arrays.n
+    N = codes.shape[0]
+    if lo0 is None:
+        lo0 = jnp.zeros(N, dtype=jnp.int32)
+    if hi0 is None:
+        hi0 = jnp.full(N, n, dtype=jnp.int32)
+
+    def step(state, c):
+        lo, hi = state
+        # interleave: [lo0, hi0, lo1, hi1, ...] is globally monotone
+        # (ranges of sorted patterns are ordered and disjoint)
+        pos = jnp.stack([lo, hi], axis=1).reshape(-1)
+        cc = jnp.stack([c, c], axis=1).reshape(-1)
+        r = rank_stream(arrays, cc, pos, interpret=interpret)
+        new_lo = arrays.C[c] + r[0::2]
+        new_hi = arrays.C[c] + r[1::2]
+        return (new_lo, new_hi), None
+
+    (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
+    return lo, hi

@@ -65,11 +65,15 @@ class SeedSet:
         return int(self.seedmap[seed_id, 1])
 
 
-def seeding(reads: Records, k: int, step: int) -> SeedSet:
+def seeding(reads: Records, k: int, step: int, greedy: bool = False) -> SeedSet:
     """Extract k-mers with `step` spacing from each read
     (ref: seeding() overloads, sequence.hpp:1688-1781; step==k gives the
-    non-overlapping strategy, step==1 greedy-overlapping)."""
-    keys, valid, seedmap = extract_kmers(reads.seqs, k, step)
+    non-overlapping strategy, step==1 greedy-overlapping; greedy=True
+    adds an end-anchored final window when the tail does not fit —
+    GreedyNonOverlapping, ref: sequence.hpp:1796-1816)."""
+    keys, valid, seedmap = extract_kmers(
+        reads.seqs, k, step, greedy_tail=greedy
+    )
     return SeedSet(keys, valid, seedmap, k, reads.rec_offset)
 
 

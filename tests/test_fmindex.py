@@ -157,7 +157,9 @@ def test_device_backward_search_matches_host():
     for i, km in enumerate(kmers):
         # forward-order feed over reversed text == occurrences of reversed kmer
         hlo, hhi = fm.backward_search(km[::-1])
-        assert (lo[i], hi[i]) == (hlo, hhi), km
+        assert hi[i] - lo[i] == hhi - hlo, km
+        if hhi > hlo:  # empty-range values are route-specific
+            assert (lo[i], hi[i]) == (hlo, hhi), km
 
     # locate parity on non-empty ranges
     widths = hi - lo
@@ -243,3 +245,34 @@ def test_ftab_non_acgt_prefix_is_empty():
     # row 2 (pure ACGT) still matches the host search
     hlo, hhi = fm.backward_search("CCCCCCCC"[::-1])
     assert (lo[2], hi[2]) == (hlo, hhi)
+
+
+def test_all_kmers_enumeration_matches_bruteforce():
+    # next_kmer-equivalent (ref: index_iter.hpp:630-652): every distinct
+    # k-mer of the text, lexicographic, with counts
+    rng = np.random.RandomState(41)
+    strings = [
+        "".join(rng.choice(list("ACGTN"), size=rng.randint(40, 200)))
+        for _ in range(4)
+    ]
+    fm = FMIndex.build_from_strings(strings)
+    k = 5
+    keys, counts, lo = fm.all_kmers(k)
+
+    from collections import Counter
+
+    brute = Counter()
+    for s in strings:
+        for i in range(len(s) - k + 1):
+            frag = s[i: i + k]
+            if "N" not in frag:
+                brute[frag] += 1
+    lut = "ACGT"
+    got = {}
+    for key, cnt in zip(keys, counts):
+        sym = "".join(
+            lut[int(key) >> (2 * (k - 1 - d)) & 3] for d in range(k)
+        )
+        got[sym] = int(cnt)
+    assert got == dict(brute)
+    assert list(keys) == sorted(keys)
