@@ -107,19 +107,28 @@ def main():
 
     codes_d = jnp.asarray(codes)
 
-    def run_mode(name, **kw):
-        arrays = fm_ops.to_device(fm, **kw)
+    def force(lo, hi):
+        # force execution with an 8-byte fetch: block_until_ready is
+        # deferred on the remote platform, and fetching the full result
+        # would measure tunnel bandwidth, not the kernel
+        return int(np.asarray(jnp.sum(hi - lo)))
+
+    def run_mode(name, search=None, codes_for=None, **kw):
+        if search is None:
+            arrays = fm_ops.to_device(fm, **kw)
+            search = lambda c: fm_ops.backward_search_codes(arrays, c)
+        cd = codes_d if codes_for is None else codes_for
         t0 = time.monotonic()
-        lo, hi = fm_ops.backward_search_codes(arrays, codes_d)
-        np.asarray(lo)  # force execution — block_until_ready is deferred
+        lo, hi = search(cd)
+        force(lo, hi)
         print(
             f"# {name} compile+first run: {time.monotonic()-t0:.1f}s",
             file=sys.stderr,
         )
         t0 = time.monotonic()
         for _ in range(iters):
-            lo, hi = fm_ops.backward_search_codes(arrays, codes_d)
-            np.asarray(lo)  # fetch forces execution each iteration
+            lo, hi = search(cd)
+            force(lo, hi)
         dt = (time.monotonic() - t0) / iters
         return n_queries / dt, dt, lo, hi
 
@@ -134,6 +143,41 @@ def main():
     ):
         rate, dt, lo, hi = run_mode(name, **kw)
         rates[name] = (rate, dt)
+
+    # streaming Pallas kernel (sorted batch — the production on-path
+    # workload queries np.unique'd keys, which are sorted)
+    try:
+        from psi_tpu.ops import fm_stream
+
+        weights = (1 << (2 * np.arange(k - 1, -1, -1, dtype=np.int64)))
+        keys_sorted = np.sort((kmers.astype(np.int64) @ weights))
+        codes_sorted = jnp.asarray(
+            fm_ops.keys_to_codes(keys_sorted.astype(np.uint64), k)
+        )
+        sarr = fm_stream.build_stream_arrays(fm)
+        sftab = jnp.asarray(fm_ops.build_ftab(fm, ftab_bits))
+
+        def stream_search(cd):
+            pk = jnp.sum(
+                (cd[:, :ftab_bits] - 1)
+                * jnp.asarray(
+                    (1 << (2 * np.arange(ftab_bits - 1, -1, -1))),
+                    dtype=jnp.int32,
+                )[None, :],
+                axis=1,
+            )
+            start = sftab[pk]
+            return fm_stream.backward_search_sorted(
+                sarr, cd[:, ftab_bits:],
+                lo0=start[:, 0], hi0=start[:, 1],
+            )
+
+        rate, dt, lo, hi = run_mode(
+            "stream+ftab", search=stream_search, codes_for=codes_sorted
+        )
+        rates["stream+ftab"] = (rate, dt)
+    except Exception as exc:  # pallas availability is platform-specific
+        print(f"# stream mode unavailable: {exc}", file=sys.stderr)
     print(
         "# "
         + "; ".join(f"{k}: {v[0]:.3e} kmers/s" for k, v in rates.items()),

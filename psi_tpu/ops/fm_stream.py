@@ -118,9 +118,8 @@ def _rank_kernel(wlo_ref, nw_ref, pos_ref, chars_ref, payload_ref, out_ref,
 
     neg1 = jnp.int32(-1)
     for s in range(SLABS):
-        lanes = pl.ds(s * WB, WB)
-        poss = pos_ref[:, lanes]            # (8, 128) int32
-        cs = chars_ref[:, lanes]            # (8, 128) int32
+        poss = pos_ref[0, s]                # (8, 128) int32
+        cs = chars_ref[0, s]                # (8, 128) int32
         blk = poss // SBLOCK
         lane_slab = t * SLABS + s
 
@@ -161,24 +160,25 @@ def _rank_kernel(wlo_ref, nw_ref, pos_ref, chars_ref, payload_ref, out_ref,
                 match &= jnp.where(bit == 1, pw, ~pw)
             maskw = (1 << (poss % SBLOCK)) - 1
             rank = base + jax.lax.population_count(match & maskw)
-            out_ref[:, lanes] = jnp.where(valid, rank, out_ref[:, lanes])
+            out_ref[0, s] = jnp.where(valid, rank, out_ref[0, s])
             return 0
 
-        out_ref[:, lanes] = jnp.zeros((QROWS, WB), jnp.int32)
+        out_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
         jax.lax.fori_loop(0, nw_ref[lane_slab], slab_pass, 0)
 
 
-def _rank_stream_call(payloadT, wlo, nw, pos2d, chars2d, interpret):
-    T = pos2d.shape[0] // QROWS
+def _rank_stream_call(payloadT, wlo, nw, pos4, chars4, interpret):
+    T = pos4.shape[0]
+    blk = (1, SLABS, QROWS, WB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
-            pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
+            pl.BlockSpec(blk, lambda t, wlo, nw: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, wlo, nw: (t, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((QROWS, 1024), lambda t, wlo, nw: (t, 0)),
+        out_specs=pl.BlockSpec(blk, lambda t, wlo, nw: (t, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((PAYLOAD_ROWS, WB), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
@@ -187,30 +187,27 @@ def _rank_stream_call(payloadT, wlo, nw, pos2d, chars2d, interpret):
     )
     return pl.pallas_call(
         _rank_kernel,
-        out_shape=jax.ShapeDtypeStruct(pos2d.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(pos4.shape, jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(wlo, nw, pos2d, chars2d, payloadT)
+    )(wlo, nw, pos4, chars4, payloadT)
 
 
-def _to_slab_layout(x: jax.Array) -> jax.Array:
-    """[Mp] -> [T*QROWS, 1024] such that lane-slab s of tile t holds the
-    contiguous run [t*QTILE + s*SLAB_Q, +SLAB_Q) in (row, lane) order."""
-    T = x.shape[0] // QTILE
-    return (
-        x.reshape(T, SLABS, QROWS, WB)
-        .transpose(0, 2, 1, 3)
-        .reshape(T * QROWS, SLABS * WB)
+def _rank_stream_padded(arrays, chars, pos, interpret):
+    """rank_stream core for M a multiple of QTILE: the [T, S, R, L] slab
+    view is a free row-major reshape (slab (t, s) holds the contiguous
+    sorted run [t*QTILE + s*SLAB_Q, +SLAB_Q))."""
+    M = pos.shape[0]
+    firsts = pos[::SLAB_Q] // SPAN
+    lasts = pos[SLAB_Q - 1:: SLAB_Q] // SPAN
+    wlo = firsts.astype(jnp.int32)
+    nw = (lasts - firsts + 1).astype(jnp.int32)
+    shape4 = (M // QTILE, SLABS, QROWS, WB)
+    out4 = _rank_stream_call(
+        arrays.payloadT, wlo, nw,
+        pos.reshape(shape4), chars.reshape(shape4), interpret,
     )
-
-
-def _from_slab_layout(x2d: jax.Array) -> jax.Array:
-    T = x2d.shape[0] // QROWS
-    return (
-        x2d.reshape(T, QROWS, SLABS, WB)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1)
-    )
+    return out4.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -228,15 +225,7 @@ def rank_stream(
     Mp = max(-(-M // QTILE) * QTILE, QTILE)
     posp = jnp.full(Mp, arrays.n, dtype=jnp.int32).at[:M].set(pos)
     charsp = jnp.ones(Mp, dtype=jnp.int32).at[:M].set(chars)
-    firsts = posp[::SLAB_Q] // SPAN
-    lasts = posp[SLAB_Q - 1:: SLAB_Q] // SPAN
-    wlo = firsts.astype(jnp.int32)
-    nw = (lasts - firsts + 1).astype(jnp.int32)
-    out2d = _rank_stream_call(
-        arrays.payloadT, wlo, nw,
-        _to_slab_layout(posp), _to_slab_layout(charsp), interpret,
-    )
-    return _from_slab_layout(out2d)[:M]
+    return _rank_stream_padded(arrays, charsp, posp, interpret)[:M]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -261,17 +250,24 @@ def backward_search_sorted(
         lo0 = jnp.zeros(N, dtype=jnp.int32)
     if hi0 is None:
         hi0 = jnp.full(N, n, dtype=jnp.int32)
+    # pad to whole tiles by REPEATING THE LAST ROW (keeps the batch
+    # sorted and the positions monotone); done once, outside the scan
+    Np = max(-(-N // QTILE) * QTILE, QTILE)
+    if Np != N:
+        pad = Np - N
+        codes = jnp.concatenate(
+            [codes, jnp.tile(codes[-1:], (pad, 1))], axis=0
+        )
+        lo0 = jnp.concatenate([lo0, jnp.tile(lo0[-1:], (pad,))])
+        hi0 = jnp.concatenate([hi0, jnp.tile(hi0[-1:], (pad,))])
 
     def step(state, c):
+        # lo and hi are each monotone; rank them as two separate
+        # streaming passes (no interleave copy)
         lo, hi = state
-        # interleave: [lo0, hi0, lo1, hi1, ...] is globally monotone
-        # (ranges of sorted patterns are ordered and disjoint)
-        pos = jnp.stack([lo, hi], axis=1).reshape(-1)
-        cc = jnp.stack([c, c], axis=1).reshape(-1)
-        r = rank_stream(arrays, cc, pos, interpret=interpret)
-        new_lo = arrays.C[c] + r[0::2]
-        new_hi = arrays.C[c] + r[1::2]
+        new_lo = arrays.C[c] + _rank_stream_padded(arrays, c, lo, interpret)
+        new_hi = arrays.C[c] + _rank_stream_padded(arrays, c, hi, interpret)
         return (new_lo, new_hi), None
 
     (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
-    return lo, hi
+    return lo[:N], hi[:N]

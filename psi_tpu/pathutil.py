@@ -447,3 +447,35 @@ def path_coverage(nodes: Sequence[int], paths_set) -> int:
         if contains(p, nodes):
             cov += 1
     return cov
+
+
+class MicroPath:
+    """Membership-only path: node-ID set, no order or sequence — the
+    reference's Path<Micro> spec (ref: path_base.hpp:834-954), used
+    where only `contains(node)` queries matter (e.g. visit sets).
+    """
+
+    __slots__ = ("nodes_set",)
+
+    def __init__(self, nodes: Iterable[int] = ()):
+        self.nodes_set = set(int(v) for v in nodes)
+
+    def add_node(self, node_id: int):
+        self.nodes_set.add(int(node_id))
+
+    def extend(self, other):
+        self.nodes_set.update(
+            other.nodes_set if isinstance(other, MicroPath) else other
+        )
+
+    def contains(self, node_id: int) -> bool:
+        return int(node_id) in self.nodes_set
+
+    def size(self) -> int:
+        return len(self.nodes_set)
+
+    def empty(self) -> bool:
+        return not self.nodes_set
+
+    def clear(self):
+        self.nodes_set.clear()

@@ -176,3 +176,16 @@ def test_pick_paths_tiny_parity(data_dir):
     assert seqs[0] == "CAAATAAGATTTGAAAATTTTCTGGAGTTCTATAATATACCAACTCTCTG"
     assert seqs[1] == "CAAATAAGGCTTGGAAATTTTCTGGAGTTCTATTATATTCCAACTCTCTG"
     assert len(set(seqs)) == 4
+
+
+def test_micro_path_membership():
+    # Path<Micro> spec: membership only (ref: path_base.hpp:834-954)
+    from psi_tpu.pathutil import MicroPath
+
+    m = MicroPath([3, 4])
+    m.add_node(9)
+    m.extend(MicroPath([11]))
+    assert m.contains(9) and m.contains(11) and not m.contains(5)
+    assert m.size() == 4 and not m.empty()
+    m.clear()
+    assert m.empty()
