@@ -106,9 +106,11 @@ def _rank_kernel(wlo_ref, nw_ref, pos_ref, chars_ref, payload_ref, out_ref,
                  win, cache, sem):
     """Grid step t: rank(chars, pos) for one (QROWS, 1024) query tile.
 
-    pos must be globally monotone in slab order; the window sequence
-    over (t, s, j) is then non-decreasing, so the cached window is
-    loaded once per distinct window. Symbols must be ACGT codes 1..4.
+    Correct for ANY positions (each slab loops over its min..max window
+    range, masked). FAST when positions arrive sorted: slabs then span
+    ~1 window and the window sequence is non-decreasing, so the cached
+    window is DMA'd once per distinct window. Symbols must be ACGT
+    codes 1..4.
     """
     t = pl.program_id(0)
 
@@ -196,10 +198,15 @@ def _rank_stream_call(payloadT, wlo, nw, pos4, chars4, interpret):
 def _rank_stream_padded(arrays, chars, pos, interpret):
     """rank_stream core for M a multiple of QTILE: the [T, S, R, L] slab
     view is a free row-major reshape (slab (t, s) holds the contiguous
-    sorted run [t*QTILE + s*SLAB_Q, +SLAB_Q))."""
+    run [t*QTILE + s*SLAB_Q, +SLAB_Q)).
+
+    Window bounds are per-slab MIN/MAX, so results are correct for ANY
+    positions; performance requires sorted positions (each slab then
+    intersects ~1 window instead of many masked passes)."""
     M = pos.shape[0]
-    firsts = pos[::SLAB_Q] // SPAN
-    lasts = pos[SLAB_Q - 1:: SLAB_Q] // SPAN
+    by_slab = pos.reshape(-1, SLAB_Q) // SPAN
+    firsts = jnp.min(by_slab, axis=1)
+    lasts = jnp.max(by_slab, axis=1)
     wlo = firsts.astype(jnp.int32)
     nw = (lasts - firsts + 1).astype(jnp.int32)
     shape4 = (M // QTILE, SLABS, QROWS, WB)
@@ -218,8 +225,8 @@ def rank_stream(
     """Batched rank(c, i): # of symbol c in bwt[0:i], for MONOTONE pos
     and ACGT symbols (c in 1..4).
 
-    chars, pos: int32 [M]. Returns int32 [M]. Positions must be
-    non-decreasing (caller invariant; see module docstring).
+    chars, pos: int32 [M]. Returns int32 [M]. Correct for any
+    positions; speed requires (approximately) sorted positions.
     """
     M = pos.shape[0]
     Mp = max(-(-M // QTILE) * QTILE, QTILE)
@@ -241,8 +248,13 @@ def backward_search_sorted(
     fm.backward_search_codes otherwise (forward char order, ACGT codes
     1..4, empty ranges lo == hi at an unspecified value).
 
-    lo0/hi0 optionally seed the search (ftab ranges); they must also be
-    monotone, which ftab ranges of sorted keys are.
+    lo0/hi0 optionally seed the search (ftab ranges).
+
+    NOTE: after the first step, positions are ordered by the REVERSED
+    fed prefix, not by key order, so intermediate steps run the rank
+    kernel on scattered positions — correct (min/max window bounds)
+    but slow. Use trie_search for the fast level-extension form that
+    keeps the frontier pattern-sorted by construction.
     """
     n = arrays.n
     N = codes.shape[0]
@@ -271,3 +283,226 @@ def backward_search_sorted(
 
     (lo, hi), _ = jax.lax.scan(step, (lo0, hi0), codes.T)
     return lo[:N], hi[:N]
+
+
+# --- rank4: ranks for ALL FOUR symbols per position ---------------------
+#
+# The trie level extension (ops/fm_trie.py) needs rank(c, pos) for every
+# c in 1..4 at the same positions — same 7 payload gathers as one rank,
+# plus three more popcounts. Output layout [T, SLABS, 4, QROWS, WB] so a
+# consumer window over 1024 positions is one contiguous (4, 8, 128)
+# block.
+
+
+def _rank4_kernel(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
+                  win, cache, sem):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        cache[0] = -1
+
+    neg1 = jnp.int32(-1)
+    for s in range(SLABS):
+        poss = pos_ref[0, s]
+        blk = poss // SBLOCK
+        lane_slab = t * SLABS + s
+
+        def slab_pass(j, _):
+            w = wlo_ref[lane_slab] + j
+
+            @pl.when(w != cache[0])
+            def _():
+                cp = pltpu.make_async_copy(
+                    payload_ref.at[:, pl.ds(w * WB, WB)], win, sem
+                )
+                cp.start()
+                cp.wait()
+                cache[0] = w
+
+            valid = (blk // WB) == w
+            lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+            def gcomp(row):
+                src = jnp.broadcast_to(
+                    win[pl.ds(row, 1), :], (QROWS, WB)
+                )
+                return jnp.take_along_axis(src, lbl, axis=1)
+
+            occ = [gcomp(c) for c in range(1, 5)]
+            pw = [gcomp(6 + p) for p in range(3)]
+            maskw = (1 << (poss % SBLOCK)) - 1
+            for c in range(1, 5):
+                match = jnp.full((QROWS, WB), neg1)
+                for p in range(3):
+                    match &= pw[p] if (c >> p) & 1 else ~pw[p]
+                rank = occ[c - 1] + jax.lax.population_count(match & maskw)
+                out_ref[0, s, c - 1] = jnp.where(
+                    valid, rank, out_ref[0, s, c - 1]
+                )
+            return 0
+
+        for c in range(4):
+            out_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], slab_pass, 0)
+
+
+def rank4_stream(
+    arrays: StreamArrays, pos: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """ranks for all 4 symbols at MONOTONE positions pos [M]
+    (M a multiple of QTILE). Returns int32 [T, SLABS, 4, QROWS, WB]."""
+    M = pos.shape[0]
+    T = M // QTILE
+    by_slab = pos.reshape(-1, SLAB_Q) // SPAN
+    wlo = jnp.min(by_slab, axis=1).astype(jnp.int32)
+    nw = (jnp.max(by_slab, axis=1) - wlo + 1).astype(jnp.int32)
+    blk = (1, SLABS, QROWS, WB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PAYLOAD_ROWS, WB), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _rank4_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, SLABS, 4, QROWS, WB), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wlo, nw, pos.reshape(T, SLABS, QROWS, WB), arrays.payloadT)
+
+
+# --- compact: host-planned child gather over rank4 output ----------------
+
+
+def _compact_kernel(pwlo_ref, pnw_ref, parent_ref, char_ref,
+                    r4lo_ref, r4hi_ref, C_ref,
+                    outlo_ref, outhi_ref, winlo, winhi, cache, semlo, semhi):
+    """Child slab: new_lo[i] = C[c_i] + r4lo[c_i - 1, parent_i] (same
+    for hi). parent_i values arrive in ascending runs (c-major child
+    order), so the 1024-parent window cache advances monotonically with
+    few resets."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        cache[0] = -1
+
+    for s in range(SLABS):
+        pidx = parent_ref[0, s]              # (8, 128) parent slots
+        cs = char_ref[0, s]
+        lane_slab = t * SLABS + s
+
+        def slab_pass(j, _):
+            w = pwlo_ref[lane_slab] + j      # parent window (1024 slots)
+
+            @pl.when(w != cache[0])
+            def _():
+                wt = w // SLABS
+                ws = w % SLABS
+                cplo = pltpu.make_async_copy(
+                    r4lo_ref.at[wt, ws], winlo, semlo
+                )
+                cphi = pltpu.make_async_copy(
+                    r4hi_ref.at[wt, ws], winhi, semhi
+                )
+                cplo.start()
+                cphi.start()
+                cplo.wait()
+                cphi.wait()
+                cache[0] = w
+
+            valid = (pidx // SLAB_Q) == w
+            lp = jnp.clip(pidx - w * SLAB_Q, 0, SLAB_Q - 1)
+            row = lp // WB
+            lane = lp % WB
+            plo = jnp.zeros((QROWS, WB), jnp.int32)
+            phi = jnp.zeros((QROWS, WB), jnp.int32)
+            for comp in range(4):
+                sel_c = cs == (comp + 1)
+                for r in range(QROWS):
+                    hit = sel_c & (row == r)
+                    glo = jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            winlo[comp, pl.ds(r, 1), :], (QROWS, WB)
+                        ),
+                        lane, axis=1,
+                    )
+                    ghi = jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            winhi[comp, pl.ds(r, 1), :], (QROWS, WB)
+                        ),
+                        lane, axis=1,
+                    )
+                    plo = jnp.where(hit, glo, plo)
+                    phi = jnp.where(hit, ghi, phi)
+            cadd = jnp.zeros((QROWS, WB), jnp.int32)
+            for c in range(1, 5):
+                cadd = cadd + jnp.where(cs == c, C_ref[c], 0)
+            outlo_ref[0, s] = jnp.where(valid, cadd + plo, outlo_ref[0, s])
+            outhi_ref[0, s] = jnp.where(valid, cadd + phi, outhi_ref[0, s])
+            return 0
+
+        outlo_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
+        outhi_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, pnw_ref[lane_slab], slab_pass, 0)
+
+
+def compact_children(
+    r4lo: jax.Array, r4hi: jax.Array,
+    parent_idx: jax.Array, char: jax.Array, C: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble child ranges from rank4 outputs: parent_idx/char int32
+    [M] (M multiple of QTILE), r4lo/r4hi [Tp, SLABS, 4, QROWS, WB].
+    Returns (lo, hi) int32 [M] in child order."""
+    M = parent_idx.shape[0]
+    T = M // QTILE
+    by_slab = parent_idx.reshape(-1, SLAB_Q) // SLAB_Q
+    pwlo = jnp.min(by_slab, axis=1).astype(jnp.int32)
+    pnw = (jnp.max(by_slab, axis=1) - pwlo + 1).astype(jnp.int32)
+    blk = (1, SLABS, QROWS, WB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, QROWS, WB), jnp.int32),
+            pltpu.VMEM((4, QROWS, WB), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    shape4 = (T, SLABS, QROWS, WB)
+    lo4, hi4 = pl.pallas_call(
+        _compact_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape4, jnp.int32),
+            jax.ShapeDtypeStruct(shape4, jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pwlo, pnw, parent_idx.reshape(shape4), char.reshape(shape4),
+      r4lo, r4hi, C)
+    return lo4.reshape(-1), hi4.reshape(-1)

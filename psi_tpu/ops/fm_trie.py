@@ -1,0 +1,222 @@
+"""Trie-batched FM backward search: level extension over the distinct-
+prefix frontier, TPU-native.
+
+The batched equivalent of the reference's dual-iterator
+kmer_exact_matches (ref: include/psi/index_iter.hpp:808-852), which
+enumerates k-mers lexicographically and reuses the longest common
+prefix between consecutive k-mers. Here the whole frontier of distinct
+fed-prefixes advances one level at a time:
+
+  level j state: SA ranges of the distinct length-j fed-prefixes,
+  ordered by PATTERN (reversed-prefix) value. Backward search PREPENDS
+  the fed char, so a child's pattern value is
+
+      r_child = r_parent + (c - 1) * 4**j
+
+  and assembling children c-major keeps the frontier pattern-sorted BY
+  CONSTRUCTION — which keeps every rank pass's positions monotone (the
+  property the streaming rank kernel needs). Note this is NOT true of
+  per-query scans: after one LF step a key-sorted batch is ordered by
+  the reversed prefix, not the key (the bug that motivated this form).
+
+Per level the device does:
+  1. rank4: one streaming pass over the frontier's (sorted) lo array
+     and one over hi, producing ranks for ALL FOUR symbols per
+     position (same gathers as one rank; no per-query symbol select);
+  2. compact: gather the surviving children (host-planned, strictly
+     increasing parent slots within each c-block) and add C[c].
+
+The child schedule (which (parent, c) pairs exist among the queried
+k-mers) depends only on the key set, so it is precomputed on host with
+vectorized NumPy and shipped as per-level index arrays; absent-in-text
+children simply carry empty ranges forward.
+
+Implemented with jnp building blocks here (correct everywhere, incl.
+CPU); the rank4/compact Pallas kernels plug in via the `use_pallas`
+flag once on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from psi_tpu.ops import fm_stream
+from psi_tpu.ops.fm_stream import StreamArrays
+
+
+class TrieSchedule(NamedTuple):
+    """Host-precomputed per-level child schedules.
+
+    Level j (1-based) has F_j distinct fed-prefixes in pattern order.
+    parent[j][i] = slot of child i's parent in level j-1's frontier;
+    char[j][i] = the fed char (1..4). Level 0 is the root [0, n).
+    leaf_perm[i] = leaf slot of sorted-key i (key order -> pattern
+    order of the full k-mers).
+    """
+
+    parents: Tuple[np.ndarray, ...]
+    chars: Tuple[np.ndarray, ...]
+    sizes: Tuple[int, ...]
+    leaf_perm: np.ndarray
+    k: int
+
+
+def build_schedule(keys: np.ndarray, k: int) -> TrieSchedule:
+    """keys: sorted distinct uint64 packed k-mers (c0 most significant,
+    2-bit codes). Vectorized O(N log N) per level."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    N = len(keys)
+    parents: List[np.ndarray] = []
+    chars: List[np.ndarray] = []
+    sizes: List[int] = []
+    # per level: distinct j-prefix values (key order) and their pattern
+    # values r; frontier is ordered by r
+    prev_kpref = np.zeros(1, dtype=np.uint64)   # level 0: root
+    prev_order = np.zeros(1, dtype=np.int64)    # slots in r-order
+    prev_r = np.zeros(1, dtype=np.uint64)
+    for j in range(1, k + 1):
+        kpref = keys >> np.uint64(2 * (k - j))
+        # uniq of sorted values
+        mask = np.empty(N, dtype=bool)
+        mask[0] = True
+        np.not_equal(kpref[1:], kpref[:-1], out=mask[1:])
+        kpref = kpref[mask]
+        F = len(kpref)
+        pk = kpref >> np.uint64(2)
+        c = (kpref & np.uint64(3)).astype(np.int32) + 1
+        # parent slot: position of pk in prev frontier's r-order
+        pos_in_keyorder = np.searchsorted(prev_kpref, pk)
+        parent_slot = prev_order[pos_in_keyorder].astype(np.int64)
+        r = prev_r[pos_in_keyorder] + (
+            (c.astype(np.uint64) - np.uint64(1)) << np.uint64(2 * (j - 1))
+        )
+        order = np.argsort(r, kind="stable")
+        inv = np.empty(F, dtype=np.int64)
+        inv[order] = np.arange(F)
+        parents.append(parent_slot[order].astype(np.int32))
+        chars.append(c[order])
+        sizes.append(F)
+        prev_kpref = kpref
+        prev_order = inv
+        prev_r = r
+    # leaf_perm: sorted-key i -> its slot in the last frontier
+    leaf_perm = prev_order
+    return TrieSchedule(
+        parents=tuple(parents),
+        chars=tuple(chars),
+        sizes=tuple(sizes),
+        leaf_perm=leaf_perm,
+        k=k,
+    )
+
+
+def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
+    out = np.full(npad, fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+def _trie_device(
+    arrays: StreamArrays,
+    parents: jax.Array,   # int32 [k, Npad]
+    chars: jax.Array,     # int32 [k, Npad]
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    n = arrays.n
+    Npad = parents.shape[1]
+    lo0 = jnp.zeros(Npad, dtype=jnp.int32)
+    hi0 = jnp.full(Npad, n, dtype=jnp.int32)
+
+    if use_pallas:
+        def level(state, xs):
+            lo, hi = state
+            parent, c = xs
+            r4lo = fm_stream.rank4_stream(arrays, lo, interpret=interpret)
+            r4hi = fm_stream.rank4_stream(arrays, hi, interpret=interpret)
+            new_lo, new_hi = fm_stream.compact_children(
+                r4lo, r4hi, parent, c, arrays.C, interpret=interpret
+            )
+            return (new_lo, new_hi), None
+
+        (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), (parents, chars))
+        return lo, hi
+
+    if True:
+        # XLA fallback: dense gather-free form is not available here;
+        # use the bit-plane payload directly (one gather per position)
+        payload = arrays.payloadT
+
+        def rank4(pos):
+            blk = pos // fm_stream.SBLOCK
+            cols = payload[:, blk]              # [16, Npad] gather
+            base = cols[1:5]                    # occ rows 1..4
+            maskw = (1 << (pos % fm_stream.SBLOCK)) - 1
+            outs = []
+            for c in range(1, 5):
+                match = jnp.full(pos.shape, -1, dtype=jnp.int32)
+                for p in range(3):
+                    bit = (c >> p) & 1
+                    pw = cols[6 + p]
+                    match &= pw if bit else ~pw
+                outs.append(
+                    base[c - 1]
+                    + jax.lax.population_count(match & maskw)
+                )
+            return jnp.stack(outs)              # [4, Npad]
+
+    def level(state, xs):
+        lo, hi = state
+        parent, c = xs
+        r4lo = rank4(lo)
+        r4hi = rank4(hi)
+        # compact: child i <- (parent[i], c[i])
+        cm1 = c - 1
+        plo = jnp.take_along_axis(
+            r4lo, parent[None, :], axis=1
+        )  # [4, Npad] -> parent-gathered
+        phi = jnp.take_along_axis(r4hi, parent[None, :], axis=1)
+        new_lo = arrays.C[c] + jnp.take_along_axis(plo, cm1[None, :], axis=0)[0]
+        new_hi = arrays.C[c] + jnp.take_along_axis(phi, cm1[None, :], axis=0)[0]
+        return (new_lo, new_hi), None
+
+    (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), (parents, chars))
+    return lo, hi
+
+
+def trie_search(
+    arrays: StreamArrays,
+    keys: np.ndarray,
+    k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SA ranges for sorted distinct packed keys, via frontier level
+    extension. Returns (lo, hi) int32 [N] in key order (empty ranges
+    have lo == hi at an unspecified value)."""
+    sched = build_schedule(keys, k)
+    N = len(keys)
+    Npad = max(-(-N // fm_stream.QTILE) * fm_stream.QTILE, fm_stream.QTILE)
+    parents = np.stack(
+        [_pad_level(p, Npad, max(int(p[-1]), 0)) for p in sched.parents]
+    )
+    chars = np.stack(
+        [_pad_level(c, Npad, int(c[-1])) for c in sched.chars]
+    )
+    lo, hi = _trie_device(
+        arrays,
+        jnp.asarray(parents),
+        jnp.asarray(chars),
+        use_pallas=use_pallas,
+        interpret=interpret,
+    )
+    lo = np.asarray(lo)[sched.leaf_perm]
+    hi = np.asarray(hi)[sched.leaf_perm]
+    return lo, hi

@@ -485,6 +485,39 @@ class SeedFinder:
             )
         return self._fm_arrays
 
+    @staticmethod
+    def _stream_enabled() -> bool:
+        """Streaming (sorted-merge) rank kernel for the on-path search:
+        opt-in via PSI_STREAM=1 (Pallas TPU path; interpret-only off-TPU)."""
+        return os.environ.get("PSI_STREAM", "") not in ("", "0")
+
+    def _get_stream_arrays(self):
+        if getattr(self, "_stream_arrays", None) is None:
+            from psi_tpu.ops import fm_stream
+
+            self._stream_arrays = fm_stream.build_stream_arrays(
+                self.pindex.fm
+            )
+        return self._stream_arrays
+
+    def _search_stream(self, search_keys: np.ndarray, k: int):
+        """Trie-batched backward search (frontier level extension over
+        distinct sorted keys; ops/fm_trie.py). Pallas kernels on TPU,
+        XLA fallback elsewhere.
+
+        search_keys may be unsorted or contain duplicates (Hamming-ball
+        expansion); results are returned in input order.
+        """
+        import jax
+
+        from psi_tpu.ops import fm_trie
+
+        uniq, inv = np.unique(search_keys, return_inverse=True)
+        sarr = self._get_stream_arrays()
+        on_tpu = jax.default_backend() not in ("cpu",)
+        lo, hi = fm_trie.trie_search(sarr, uniq, k, use_pallas=on_tpu)
+        return lo[inv], hi[inv]
+
     def _get_map_arrays(self):
         if self._map_arrays is None and self._path_map is not None:
             from psi_tpu.ops import fm as fm_ops
@@ -571,8 +604,11 @@ class SeedFinder:
             origin = np.arange(len(uniq_keys), dtype=np.int64)
 
         arrays = self._get_fm_arrays()
-        codes = fm_ops.keys_to_codes(search_keys, k)
-        lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
+        if self._stream_enabled():
+            lo, hi = self._search_stream(search_keys, k)
+        else:
+            codes = fm_ops.keys_to_codes(search_keys, k)
+            lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
         lo = np.asarray(lo)
         hi = np.asarray(hi)
         counts = hi - lo

@@ -99,3 +99,80 @@ def test_backward_search_sorted_with_ftab_seed():
     nz = h1 > l1
     if nz.any():
         np.testing.assert_array_equal(l1[nz], l2[nz])
+
+
+def test_seed_finder_stream_route_matches_default(monkeypatch, tmp_path):
+    """PSI_STREAM=1 on-path route (ftab seed + streaming kernel,
+    interpret mode on CPU) emits the identical hit multiset."""
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    rng = np.random.RandomState(5)
+    seq = "".join(rng.choice(list("ACGT"), size=400))
+    g = Graph.from_parts(
+        nodes={1: seq}, edges=[], paths=[("ref", [1])]
+    )
+
+    def run(stream):
+        if stream:
+            monkeypatch.setenv("PSI_STREAM", "1")
+        else:
+            monkeypatch.delenv("PSI_STREAM", raising=False)
+        finder = SeedFinder(g, seed_len=12)
+        finder.create_path_index(n=1, patched=False)
+        reads = Records(
+            ["r0", "r1"], [seq[37: 37 + 48], seq[200: 200 + 48]]
+        )
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        hits = []
+        finder.seeds_on_paths(seeds, index, hits.append)
+        return sorted(
+            (s.node_id, s.node_offset, s.read_id, s.read_offset, s.gocc)
+            for s in hits
+        )
+
+    default = run(False)
+    stream = run(True)
+    assert len(default) > 0
+    assert default == stream
+
+
+def test_trie_search_matches_generic():
+    """Frontier level extension vs the per-query scan, on a text large
+    enough for many payload windows (regression: correctness must not
+    depend on positions staying inside one window)."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(17)
+    s = "".join(rng.choice(list("ACGT"), size=120_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    arr = fm_stream.build_stream_arrays(fm)
+    dense = fm_ops.to_device(fm, dense_occ=True)
+
+    k = 13
+    lut = {c: i for i, c in enumerate("ACGT")}
+    pres = []
+    for start in range(0, len(s) - k, 53):
+        v = 0
+        for ch in s[start: start + k]:
+            v = v * 4 + lut[ch]
+        pres.append(v)
+    keys = np.unique(np.concatenate([
+        rng.randint(0, 4 ** k, size=2000).astype(np.uint64),
+        np.asarray(pres, dtype=np.uint64),
+    ]))
+
+    codes = fm_ops.keys_to_codes(keys, k)
+    l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+    w1 = np.asarray(h1) - np.asarray(l1)
+
+    for pallas in (False, True):
+        lo2, hi2 = fm_trie.trie_search(
+            arr, keys, k, use_pallas=pallas, interpret=pallas
+        )
+        np.testing.assert_array_equal(w1, hi2 - lo2)
+        nz = w1 > 0
+        assert nz.any()
+        np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
