@@ -144,40 +144,47 @@ def main():
         rate, dt, lo, hi = run_mode(name, **kw)
         rates[name] = (rate, dt)
 
-    # streaming Pallas kernel (sorted batch — the production on-path
-    # workload queries np.unique'd keys, which are sorted)
+    # trie-batched search (production on-path route: distinct sorted
+    # keys; Pallas frontier kernels on TPU). Host schedule build is a
+    # per-chunk host cost, reported separately.
     try:
-        from psi_tpu.ops import fm_stream
+        from psi_tpu.ops import fm_stream, fm_trie
 
         weights = (1 << (2 * np.arange(k - 1, -1, -1, dtype=np.int64)))
-        keys_sorted = np.sort((kmers.astype(np.int64) @ weights))
-        codes_sorted = jnp.asarray(
-            fm_ops.keys_to_codes(keys_sorted.astype(np.uint64), k)
+        keys_u = np.unique(
+            (kmers.astype(np.int64) @ weights).astype(np.uint64)
         )
         sarr = fm_stream.build_stream_arrays(fm)
-        sftab = jnp.asarray(fm_ops.build_ftab(fm, ftab_bits))
-
-        def stream_search(cd):
-            pk = jnp.sum(
-                (cd[:, :ftab_bits] - 1)
-                * jnp.asarray(
-                    (1 << (2 * np.arange(ftab_bits - 1, -1, -1))),
-                    dtype=jnp.int32,
-                )[None, :],
-                axis=1,
-            )
-            start = sftab[pk]
-            return fm_stream.backward_search_sorted(
-                sarr, cd[:, ftab_bits:],
-                lo0=start[:, 0], hi0=start[:, 1],
-            )
-
-        rate, dt, lo, hi = run_mode(
-            "stream+ftab", search=stream_search, codes_for=codes_sorted
+        t0 = time.monotonic()
+        sched = fm_trie.build_schedule(keys_u, k)
+        print(
+            f"# trie host schedule: {time.monotonic()-t0:.2f}s "
+            f"for {len(keys_u)} distinct keys",
+            file=sys.stderr,
         )
-        rates["stream+ftab"] = (rate, dt)
+        Npad = fm_stream.QTILE
+        while Npad < len(keys_u):
+            Npad *= 2
+        parents = jnp.asarray(np.stack([
+            fm_trie._pad_level(p, Npad, max(int(p[-1]), 0))
+            for p in sched.parents
+        ]))
+        chars_t = jnp.asarray(np.stack([
+            fm_trie._pad_level(c, Npad, int(c[-1])) for c in sched.chars
+        ]))
+        use_pallas = on_tpu
+
+        def trie_run(_):
+            return fm_trie._trie_device(
+                sarr, parents, chars_t, use_pallas=use_pallas
+            )
+
+        rate, dt, lo, hi = run_mode("trie", search=trie_run)
+        # normalize: trie processed len(keys_u) distinct keys
+        rate = rate * len(keys_u) / n_queries
+        rates["trie"] = (rate, dt)
     except Exception as exc:  # pallas availability is platform-specific
-        print(f"# stream mode unavailable: {exc}", file=sys.stderr)
+        print(f"# trie mode unavailable: {exc}", file=sys.stderr)
     print(
         "# "
         + "; ".join(f"{k}: {v[0]:.3e} kmers/s" for k, v in rates.items()),

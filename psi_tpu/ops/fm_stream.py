@@ -1,23 +1,24 @@
-"""Streaming-rank Pallas kernel: batched FM backward search for SORTED
-query batches.
+"""Streaming-rank Pallas kernels: batched FM rank for (mostly) sorted
+position batches.
 
 The TPU-native reformulation of HOT LOOP #1 (per-char backward search,
 ref: include/psi/fmindex.hpp:851-869). XLA lowers the rank gathers to a
-serialized dynamic-slice loop (~1e6 rows/s measured on v5e); this path
-removes random access entirely by exploiting an ordering invariant:
+serialized dynamic-slice loop (~1e6 rows/s measured on v5e); these
+kernels instead stream query slabs through VMEM via BlockSpec while
+walking occ-table windows, each window DMA'd once per distinct window
+visit (SMEM-cached across the grid).
 
-  For queries sorted lexicographically, every LF step's (lo, hi)
-  positions are MONOTONE across the batch — lo(p) = |{suffixes < p}|
-  and hi(p) = lo(p) + count(p) are monotone in pattern order, whether
-  or not p occurs — provided empty ranges keep LF-stepping (an empty
-  range stays empty: lo == hi gives rank(c, lo) == rank(c, hi)).
-
-With positions monotone, the per-step rank pass is a streaming MERGE:
-query slabs stream through VMEM via BlockSpec while the kernel walks
-occ-table windows forward; the window sequence over (tile, slab, j) is
-non-decreasing, so a single cached window is DMA'd from HBM once per
-distinct window per step. Per-step HBM traffic = table once + query
-slabs once.
+Positions are MONOTONE when the batch is ordered by PATTERN value —
+lo(p) = |{suffixes < p}| and hi(p) = lo(p) + count(p) are monotone in
+pattern order whether or not p occurs, provided empty ranges keep
+LF-stepping (an empty range stays empty: lo == hi gives rank(c, lo) ==
+rank(c, hi)). NOTE backward search PREPENDS the fed char, so after one
+LF step a key-sorted batch is ordered by the REVERSED fed prefix, not
+the key: per-query scans scatter, and the fast consumer is the trie
+level extension (ops/fm_trie.py) whose frontier stays pattern-sorted
+by construction. All kernels remain CORRECT for arbitrary positions
+via per-slab min/max window bounds (masked multi-pass); sortedness is
+a performance property only.
 
 Layout: one transposed payload table with 32-position checkpoint blocks
 
@@ -33,12 +34,9 @@ gather dimension") — hence 128-block windows and per-component gathers
 from a broadcast (8, 128) source.
 
 Queries are laid out so each (8, 128) lane-slab holds a CONTIGUOUS run
-of 1024 sorted queries (pos[..., s*1024 : (s+1)*1024]); per-slab window
+of 1024 queries (pos[..., s*1024 : (s+1)*1024]); per-slab window
 bounds come in as scalar prefetch, so a slab is computed once per
-window it actually intersects (usually one).
-
-The seeds-on-paths route queries distinct sorted k-mers (np.unique), so
-this kernel drops in with no extra sort.
+window it actually intersects (one, when sorted).
 """
 
 from __future__ import annotations

@@ -203,7 +203,11 @@ def trie_search(
     have lo == hi at an unspecified value)."""
     sched = build_schedule(keys, k)
     N = len(keys)
-    Npad = max(-(-N // fm_stream.QTILE) * fm_stream.QTILE, fm_stream.QTILE)
+    # power-of-two tile-multiple padding: bounds the number of compiled
+    # shapes across chunks of varying distinct-key counts
+    Npad = fm_stream.QTILE
+    while Npad < N:
+        Npad *= 2
     parents = np.stack(
         [_pad_level(p, Npad, max(int(p[-1]), 0)) for p in sched.parents]
     )
