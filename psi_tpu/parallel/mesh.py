@@ -83,3 +83,76 @@ def make_train_step(mesh: Mesh):
         return counts, total_occ, nonzero
 
     return step
+
+
+def sharded_trie_search(
+    mesh: Mesh,
+    stream_arrays,
+    keys: np.ndarray,
+    k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Data-parallel trie-batched search (ops/fm_trie.py): sorted
+    distinct keys split into contiguous per-device chunks (each stays
+    sorted), per-shard host schedules stacked and sharded over "data",
+    index replicated; shard_map runs the frontier kernels per device.
+
+    Returns (lo, hi) int32 [N] in key order.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from psi_tpu.ops import fm_trie
+    from psi_tpu.ops.fm_stream import QTILE
+
+    D = mesh.shape["data"]
+    N = len(keys)
+    per = -(-N // D)
+    Npad = QTILE
+    while Npad < per:
+        Npad *= 2
+
+    parents = np.zeros((D, k, Npad), dtype=np.int32)
+    chars = np.ones((D, k, Npad), dtype=np.int32)
+    perms = []
+    sizes = []
+    for d in range(D):
+        chunk = keys[d * per: (d + 1) * per]
+        sizes.append(len(chunk))
+        if len(chunk) == 0:
+            perms.append(np.zeros(0, dtype=np.int64))
+            continue
+        sched = fm_trie.build_schedule(chunk, k)
+        for j in range(k):
+            parents[d, j] = fm_trie._pad_level(
+                sched.parents[j], Npad, max(int(sched.parents[j][-1]), 0)
+            )
+            chars[d, j] = fm_trie._pad_level(
+                sched.chars[j], Npad, int(sched.chars[j][-1])
+            )
+        perms.append(sched.leaf_perm)
+
+    arrays_r = replicate(mesh, stream_arrays)
+
+    def local(parents_d, chars_d):
+        return fm_trie._trie_device(
+            arrays_r, parents_d[0], chars_d[0],
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    lo, hi = fn(jnp.asarray(parents), jnp.asarray(chars))
+    lo = np.asarray(lo).reshape(D, Npad)
+    hi = np.asarray(hi).reshape(D, Npad)
+    out_lo = np.empty(N, dtype=np.int32)
+    out_hi = np.empty(N, dtype=np.int32)
+    for d in range(D):
+        if sizes[d]:
+            out_lo[d * per: d * per + sizes[d]] = lo[d][perms[d]]
+            out_hi[d * per: d * per + sizes[d]] = hi[d][perms[d]]
+    return out_lo, out_hi

@@ -70,3 +70,28 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (1024,)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_trie_search_matches_single():
+    import jax.numpy as jnp
+
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops import fm as fm_ops, fm_stream
+    from psi_tpu.parallel.mesh import device_mesh, sharded_trie_search
+
+    rng = np.random.RandomState(23)
+    s = "".join(rng.choice(list("ACGT"), size=60_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    sarr = fm_stream.build_stream_arrays(fm)
+    dense = fm_ops.to_device(fm, dense_occ=True)
+
+    k = 12
+    keys = np.unique(rng.randint(0, 4 ** k, size=4000).astype(np.uint64))
+    mesh = device_mesh(8)
+    lo, hi = sharded_trie_search(mesh, sarr, keys, k)
+    l1, h1 = fm_ops.backward_search_codes(
+        dense, jnp.asarray(fm_ops.keys_to_codes(keys, k))
+    )
+    np.testing.assert_array_equal(np.asarray(h1) - np.asarray(l1), hi - lo)
+    nz = (h1 > l1)
+    np.testing.assert_array_equal(np.asarray(l1)[nz], lo[np.asarray(nz)])
