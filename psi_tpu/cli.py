@@ -338,6 +338,13 @@ def _write_report(args, finder, graph, found, covered_reads, n_chunks):
         ),
         "seedhits": found,
         "coveredreads": len(covered_reads),
+        # traversal counters (ref: TraverserStats fed end-of-run report,
+        # psikt.cpp:59-80)
+        "godowns": finder.stats.get_this_thread_stats().godowns,
+        "traversedpaths": finder.stats.get_this_thread_stats().paths_traversed,
+        "avgpathlen": round(
+            finder.stats.get_this_thread_stats().avg_pathlen(), 2
+        ),
     }
     with open(args.report, "w") as fh:
         _json.dump(report, fh, indent=2)

@@ -122,8 +122,12 @@ def traverse_device(
     forking in one pass. All live states then consume exactly one label
     character, so after k steps every survivor is a full k-length match.
 
-    Returns (locus_idx, lo, hi, n_used, overflow); slots < n_used are
-    the surviving matches.
+    Returns (locus_idx, lo, hi, n_used, overflow, tstats); slots <
+    n_used are the surviving matches. tstats = int32 [3]: go-down ops
+    (attempted descents incl. failed, the reference's godown counter),
+    ended-path count, summed ended-path lengths (ref TraverserStats,
+    traverser_base.hpp:103-268; survivors count as length-k paths and
+    are added by the caller).
     """
     slot = jnp.arange(cap, dtype=jnp.int32)
     locus_idx = slot
@@ -133,9 +137,10 @@ def traverse_device(
     hi = jnp.full(cap, seeds.size, dtype=jnp.int32)
     n_used = n_init.astype(jnp.int32)
     overflow = jnp.zeros((), dtype=jnp.bool_)
+    tstats = jnp.zeros(3, dtype=jnp.int32)
 
     def step(t, state):
-        locus_idx, node, off, lo, hi, n_used, overflow = state
+        locus_idx, node, off, lo, hi, n_used, overflow, tstats = state
         in_use = slot < n_used
         safe_node = jnp.maximum(node, 1)
         node_len = g.label_offsets[safe_node] - g.label_offsets[safe_node - 1]
@@ -196,12 +201,20 @@ def traverse_device(
         off = new_off[src] + 1
         lo = r_lo[src]
         hi = r_hi[src]
-        return locus_idx, node, off, lo, hi, n2, overflow_now
+        attempted = jnp.minimum(new_n, cap)
+        ended = attempted - n2
+        tstats = tstats + jnp.stack(
+            [attempted, ended, ended * (t + 1)]
+        ).astype(jnp.int32)
+        return locus_idx, node, off, lo, hi, n2, overflow_now, tstats
 
-    locus_idx, node, off, lo, hi, n_used, overflow = jax.lax.fori_loop(
-        0, k, step, (locus_idx, node, off, lo, hi, n_used, overflow)
+    locus_idx, node, off, lo, hi, n_used, overflow, tstats = (
+        jax.lax.fori_loop(
+            0, k, step,
+            (locus_idx, node, off, lo, hi, n_used, overflow, tstats),
+        )
     )
-    return locus_idx, lo, hi, n_used, overflow
+    return locus_idx, lo, hi, n_used, overflow, tstats
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap", "max_mm"))
@@ -349,7 +362,7 @@ def traverse(
         for i, l in enumerate(loci):
             start_nodes[i] = l.node_id()
             start_offs[i] = l.offset()
-        locus_idx, lo, hi, n_used, overflow = traverse_device(
+        locus_idx, lo, hi, n_used, overflow, _tstats = traverse_device(
             g,
             seeds_arrays,
             jnp.asarray(start_nodes),

@@ -911,11 +911,20 @@ class SeedFinder:
                     )
                 )
             else:
-                locus_idx, lo, hi, n_used, overflow = trav.traverse_device(
+                (locus_idx, lo, hi, n_used, overflow,
+                 tstats_dev) = trav.traverse_device(
                     g, sa,
                     jnp.asarray(start_nodes), jnp.asarray(start_offs),
                     jnp.asarray(n, dtype=jnp.int32),
                     self.seed_len, cap,
+                )
+                gd, ended, ended_len = (
+                    int(v) for v in np.asarray(tstats_dev)
+                )
+                ts = self.stats.get_this_thread_stats()
+                ts.add_traversal(
+                    gd, ended + int(n_used),
+                    ended_len + int(n_used) * self.seed_len,
                 )
             if bool(overflow):
                 cap *= 2

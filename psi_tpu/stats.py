@@ -110,6 +110,10 @@ class ThreadStats:
         self.seed_gocc_sum = 0
         self.seed_gocc_n = 0
         self.gocc_skips = 0
+        # traversal counters (ref TraverserStats, traverser_base.hpp:103-268)
+        self.godowns = 0
+        self.paths_traversed = 0
+        self.paths_len_sum = 0
 
     def set_progress(self, p: str):
         self.progress = p
@@ -129,6 +133,20 @@ class ThreadStats:
 
     def avg_gocc(self) -> float:
         return self.seed_gocc_sum / self.seed_gocc_n if self.seed_gocc_n else 0.0
+
+    def add_traversal(self, godowns: int, n_paths: int, len_sum: int):
+        """Per-chunk traversal counters: attempted descents (go-downs),
+        ended/complete paths, summed path lengths (for the streaming
+        average; ref: traverser_base.hpp:158-231)."""
+        self.godowns += godowns
+        self.paths_traversed += n_paths
+        self.paths_len_sum += len_sum
+
+    def avg_pathlen(self) -> float:
+        return (
+            self.paths_len_sum / self.paths_traversed
+            if self.paths_traversed else 0.0
+        )
 
 
 class SeedFinderStats:
