@@ -323,3 +323,80 @@ class FMIndex:
             z["str_starts"], z["lengths"],
             codemap=np.asarray(z["codemap"]), sigma=int(z["sigma"]),
         )
+
+
+class TopDownIter:
+    """Virtual prefix-trie iterator over an FMIndex — the reference's
+    Iter<TopDown<>> surface (ref: include/psi/fmindex.hpp:543-917):
+    go_down(c) is one backward-search step (pattern extends at the
+    FRONT), go_up pops the explicit history stack (IterHistory,
+    fmindex.hpp:543-681), go_right moves to the next sibling edge,
+    representative() returns the current pattern; count()/occurrences()
+    query the current SA range.
+    """
+
+    def __init__(self, fm: FMIndex):
+        self.fm = fm
+        self.lo = 0
+        self.hi = fm.size
+        # history: (lo, hi, edge_char) per descent
+        self._hist: List[Tuple[int, int, int]] = []
+
+    def is_root(self) -> bool:
+        return not self._hist
+
+    def count(self) -> int:
+        return max(self.hi - self.lo, 0)
+
+    def depth(self) -> int:
+        return len(self._hist)
+
+    def representative(self) -> str:
+        codes = [c for (_, _, c) in reversed(self._hist)]
+        return bytes(DECODE[codes]).decode("ascii") if codes else ""
+
+    def occurrences(self) -> np.ndarray:
+        return self.fm.locate(self.lo, self.hi)
+
+    def _try(self, c: int) -> bool:
+        nlo, nhi = self.fm.lf_step(c, self.lo, self.hi)
+        if nlo < nhi:
+            self._hist.append((self.lo, self.hi, c))
+            self.lo, self.hi = nlo, nhi
+            return True
+        return False
+
+    def go_down(self, c=None) -> bool:
+        """Descend the edge labelled c, or the lexicographically
+        smallest existing edge when c is None (sentinel edges are not
+        descended, mirroring pattern-search usage)."""
+        if self.hi <= self.lo:
+            return False
+        if c is not None:
+            code = int(self.fm.codemap[ord(c)]) if isinstance(c, str) else int(c)
+            return self._try(code)
+        for code in range(1, self.fm.sigma):
+            if self._try(code):
+                return True
+        return False
+
+    def go_right(self) -> bool:
+        """Move to the next sibling edge (next larger char with a
+        non-empty range at the parent)."""
+        if not self._hist:
+            return False
+        plo, phi, c = self._hist.pop()
+        self.lo, self.hi = plo, phi
+        for code in range(c + 1, self.fm.sigma):
+            if self._try(code):
+                return True
+        # restore (stay on the old edge like SeqAn's failed goRight)
+        self._hist.append((plo, phi, c))
+        self.lo, self.hi = self.fm.lf_step(c, plo, phi)
+        return False
+
+    def go_up(self) -> bool:
+        if not self._hist:
+            return False
+        self.lo, self.hi, _ = self._hist.pop()
+        return True

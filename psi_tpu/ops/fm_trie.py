@@ -137,6 +137,10 @@ def _trie_device(
 
     if use_pallas:
         def level(state, xs):
+            # NOTE an interleaved single rank4 pass over
+            # [lo0, hi0, lo1, hi1, ...] was tried and measured 4.5x
+            # SLOWER on v5e than two separate passes (grid doubles and
+            # compact windows halve in parent coverage); keep two.
             lo, hi = state
             parent, c = xs
             r4lo = fm_stream.rank4_stream(arrays, lo, interpret=interpret)

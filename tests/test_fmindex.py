@@ -276,3 +276,54 @@ def test_all_kmers_enumeration_matches_bruteforce():
         got[sym] = int(cnt)
     assert got == dict(brute)
     assert list(keys) == sorted(keys)
+
+
+def test_topdown_iter_traversal():
+    """Iter<TopDown> surface (ref: fmindex.hpp:543-917 scenarios in
+    test_fmindex.cpp): descent counts, representative, and full DFS
+    enumeration via go_down/go_right/go_up."""
+    from collections import Counter
+
+    from psi_tpu.fmindex import TopDownIter
+
+    rng = np.random.RandomState(51)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(30, 90)))
+        for _ in range(3)
+    ]
+    fm = FMIndex.build_from_strings(strings)
+
+    it = TopDownIter(fm)
+    assert it.is_root() and it.count() == fm.size
+    assert it.go_down("A")
+    assert it.count() == fm.count("A")
+    assert it.go_down("C")  # pattern extends at the front: "CA"
+    assert it.representative() == "CA"
+    assert it.count() == fm.count("CA")
+    occ = sorted(map(int, it.occurrences()))
+    assert occ == sorted(map(int, fm.locate(*fm.backward_search("CA"))))
+    assert it.go_up() and it.representative() == "A"
+
+    k = 3
+    seen = {}
+
+    def dfs(t):
+        if t.depth() == k:
+            seen[t.representative()] = t.count()
+            return
+        if t.go_down():
+            while True:
+                dfs(t)
+                if not t.go_right():
+                    break
+            t.go_up()
+
+    dfs(TopDownIter(fm))
+    brute = Counter()
+    for s in strings:
+        for i in range(len(s) - k + 1):
+            brute[s[i: i + k]] += 1
+    # DFS also reaches patterns ending at string starts via sentinels;
+    # restrict to pure ACGT patterns
+    got = {p: c for p, c in seen.items() if set(p) <= set("ACGT")}
+    assert got == dict(brute)
