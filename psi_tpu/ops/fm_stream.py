@@ -292,38 +292,55 @@ def backward_search_sorted(
 # block.
 
 
+RING = 8  # in-flight window DMAs (hides HBM latency on sparse batches)
+
+
 def _rank4_kernel(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
-                  win, cache, sem):
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _():
-        cache[0] = -1
-
+                  winring, sems):
+    """rank4 with a RING-deep window-prefetch pipeline: a slab spanning
+    nw windows starts DMAs for up to RING windows ahead, so the per-
+    window HBM latency (the dominant cost for sparse batches, where
+    each slab spans many windows) overlaps compute. Every window j is
+    started exactly once (prologue j < RING, or at pass j-RING) and
+    waited exactly once (at pass j), so no semaphore leaks across
+    slabs."""
     neg1 = jnp.int32(-1)
     for s in range(SLABS):
         poss = pos_ref[0, s]
         blk = poss // SBLOCK
-        lane_slab = t * SLABS + s
+        lane_slab = pl.program_id(0) * SLABS + s
+        base = wlo_ref[lane_slab]
+        nw = nw_ref[lane_slab]
+
+        def start(j):
+            slot = jax.lax.rem(j, RING)
+            pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds((base + j) * WB, WB)],
+                winring.at[slot],
+                sems.at[slot],
+            ).start()
+
+        def prologue(j, _):
+            start(j)
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(nw, RING), prologue, 0)
 
         def slab_pass(j, _):
-            w = wlo_ref[lane_slab] + j
-
-            @pl.when(w != cache[0])
-            def _():
-                cp = pltpu.make_async_copy(
-                    payload_ref.at[:, pl.ds(w * WB, WB)], win, sem
-                )
-                cp.start()
-                cp.wait()
-                cache[0] = w
+            w = base + j
+            slot = jax.lax.rem(j, RING)
+            pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(w * WB, WB)],
+                winring.at[slot],
+                sems.at[slot],
+            ).wait()
 
             valid = (blk // WB) == w
             lbl = jnp.clip(blk - w * WB, 0, WB - 1)
 
             def gcomp(row):
                 src = jnp.broadcast_to(
-                    win[pl.ds(row, 1), :], (QROWS, WB)
+                    winring[slot, pl.ds(row, 1), :], (QROWS, WB)
                 )
                 return jnp.take_along_axis(src, lbl, axis=1)
 
@@ -338,11 +355,16 @@ def _rank4_kernel(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
                 out_ref[0, s, c - 1] = jnp.where(
                     valid, rank, out_ref[0, s, c - 1]
                 )
+
+            @pl.when(j + RING < nw)
+            def _():
+                start(j + RING)
+
             return 0
 
         for c in range(4):
             out_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
-        jax.lax.fori_loop(0, nw_ref[lane_slab], slab_pass, 0)
+        jax.lax.fori_loop(0, nw, slab_pass, 0)
 
 
 def rank4_stream(
@@ -367,9 +389,8 @@ def rank4_stream(
             (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((PAYLOAD_ROWS, WB), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((RING, PAYLOAD_ROWS, WB), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING,)),
         ],
     )
     return pl.pallas_call(
