@@ -125,15 +125,19 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
 def _trie_device(
     arrays: StreamArrays,
-    parents: jax.Array,   # int32 [k, Npad]
-    chars: jax.Array,     # int32 [k, Npad]
+    parents: jax.Array,   # int32 [levels, Npad]
+    chars: jax.Array,     # int32 [levels, Npad]
     use_pallas: bool = False,
     interpret: bool = False,
+    lo0: jax.Array | None = None,   # optional ftab-seeded frontier
+    hi0: jax.Array | None = None,
 ):
     n = arrays.n
     Npad = parents.shape[1]
-    lo0 = jnp.zeros(Npad, dtype=jnp.int32)
-    hi0 = jnp.full(Npad, n, dtype=jnp.int32)
+    if lo0 is None:
+        lo0 = jnp.zeros(Npad, dtype=jnp.int32)
+    if hi0 is None:
+        hi0 = jnp.full(Npad, n, dtype=jnp.int32)
 
     if use_pallas:
         def level(state, xs):
@@ -195,16 +199,35 @@ def _trie_device(
     return lo, hi
 
 
+def _frontier_at(keys: np.ndarray, k: int, p: int):
+    """Level-p frontier of the key set: distinct p-prefixes and their
+    pattern-order permutation (r = 2-bit digit reversal, matching
+    build_schedule's r values)."""
+    kpref = np.unique(keys >> np.uint64(2 * (k - p)))
+    r = np.zeros(len(kpref), dtype=np.uint64)
+    v = kpref.copy()
+    for _ in range(p):
+        r = (r << np.uint64(2)) | (v & np.uint64(3))
+        v >>= np.uint64(2)
+    order = np.argsort(r, kind="stable")
+    return kpref, order
+
+
 def trie_search(
     arrays: StreamArrays,
     keys: np.ndarray,
     k: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    ftab: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """SA ranges for sorted distinct packed keys, via frontier level
     extension. Returns (lo, hi) int32 [N] in key order (empty ranges
-    have lo == hi at an unspecified value)."""
+    have lo == hi at an unspecified value).
+
+    With `ftab` (int32 [4**p, 2] from fm.build_ftab), the level-p
+    frontier is seeded by a host table lookup and the device runs only
+    levels p+1..k."""
     sched = build_schedule(keys, k)
     N = len(keys)
     # power-of-two tile-multiple padding: bounds the number of compiled
@@ -212,11 +235,27 @@ def trie_search(
     Npad = fm_stream.QTILE
     while Npad < N:
         Npad *= 2
+    start = 0
+    lo0 = hi0 = None
+    if ftab is not None:
+        p = (int(ftab.shape[0]).bit_length() - 1) // 2
+        if 0 < p < k:
+            start = p
+            kpref, order = _frontier_at(keys, k, p)
+            ranges = ftab[kpref][order]          # pattern order
+            F = len(kpref)
+            lo0 = jnp.asarray(_pad_level(
+                ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
+            ))
+            hi0 = jnp.asarray(_pad_level(
+                ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
+            ))
     parents = np.stack(
-        [_pad_level(p, Npad, max(int(p[-1]), 0)) for p in sched.parents]
+        [_pad_level(q, Npad, max(int(q[-1]), 0))
+         for q in sched.parents[start:]]
     )
     chars = np.stack(
-        [_pad_level(c, Npad, int(c[-1])) for c in sched.chars]
+        [_pad_level(c, Npad, int(c[-1])) for c in sched.chars[start:]]
     )
     lo, hi = _trie_device(
         arrays,
@@ -224,6 +263,8 @@ def trie_search(
         jnp.asarray(chars),
         use_pallas=use_pallas,
         interpret=interpret,
+        lo0=lo0,
+        hi0=hi0,
     )
     lo = np.asarray(lo)[sched.leaf_perm]
     hi = np.asarray(hi)[sched.leaf_perm]

@@ -523,7 +523,17 @@ class SeedFinder:
         uniq, inv = np.unique(search_keys, return_inverse=True)
         sarr = self._get_stream_arrays()
         on_tpu = jax.default_backend() not in ("cpu",)
-        lo, hi = fm_trie.trie_search(sarr, uniq, k, use_pallas=on_tpu)
+        if getattr(self, "_ftab_np", None) is None:
+            from psi_tpu.ops import fm as fm_ops
+
+            bits = self._ftab_bits()
+            self._ftab_np = (
+                fm_ops.build_ftab(self.pindex.fm, bits) if bits else False
+            )
+        ftab = self._ftab_np if self._ftab_np is not False else None
+        lo, hi = fm_trie.trie_search(
+            sarr, uniq, k, use_pallas=on_tpu, ftab=ftab
+        )
         return lo[inv], hi[inv]
 
     def _get_map_arrays(self):

@@ -168,11 +168,13 @@ def test_trie_search_matches_generic():
     l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
     w1 = np.asarray(h1) - np.asarray(l1)
 
+    ftab = fm_ops.build_ftab(fm, 5)
     for pallas in (False, True):
-        lo2, hi2 = fm_trie.trie_search(
-            arr, keys, k, use_pallas=pallas, interpret=pallas
-        )
-        np.testing.assert_array_equal(w1, hi2 - lo2)
-        nz = w1 > 0
-        assert nz.any()
-        np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
+        for ft in (None, ftab):
+            lo2, hi2 = fm_trie.trie_search(
+                arr, keys, k, use_pallas=pallas, interpret=pallas, ftab=ft
+            )
+            np.testing.assert_array_equal(w1, hi2 - lo2)
+            nz = w1 > 0
+            assert nz.any()
+            np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
