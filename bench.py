@@ -165,18 +165,28 @@ def main():
         Npad = fm_stream.QTILE
         while Npad < len(keys_u):
             Npad *= 2
+        # ftab-seeded start: levels 1..p replaced by one host lookup
+        ftab_np = fm_ops.build_ftab(fm, ftab_bits)
+        kpref, order = fm_trie._frontier_at(keys_u, k, ftab_bits)
+        ranges = ftab_np[kpref][order]
+        lo0 = jnp.asarray(fm_trie._pad_level(
+            ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])))
+        hi0 = jnp.asarray(fm_trie._pad_level(
+            ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])))
         parents = jnp.asarray(np.stack([
             fm_trie._pad_level(p, Npad, max(int(p[-1]), 0))
-            for p in sched.parents
+            for p in sched.parents[ftab_bits:]
         ]))
         chars_t = jnp.asarray(np.stack([
-            fm_trie._pad_level(c, Npad, int(c[-1])) for c in sched.chars
+            fm_trie._pad_level(c, Npad, int(c[-1]))
+            for c in sched.chars[ftab_bits:]
         ]))
         use_pallas = on_tpu
 
         def trie_run(_):
             return fm_trie._trie_device(
-                sarr, parents, chars_t, use_pallas=use_pallas
+                sarr, parents, chars_t, use_pallas=use_pallas,
+                lo0=lo0, hi0=hi0,
             )
 
         rate, dt, lo, hi = run_mode("trie", search=trie_run)
