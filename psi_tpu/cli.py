@@ -171,7 +171,7 @@ def main(argv: Optional[list] = None) -> int:
             args.max_insert_size,
             per_component=(args.dindex_mode == "per-component"),
         )
-        log.info("Picked paths in %.3fs.", Timer.get_duration("pick-paths") or 0)
+        log.info("Picked paths in %.3fs.", Timer.get_duration_ts("pick-paths"))
         if args.path_index:
             log.info("Saving path index...")
             if not finder.serialize_path_index(args.path_index, args.step_size):

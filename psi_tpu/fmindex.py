@@ -242,9 +242,11 @@ class FMIndex:
         keys = np.zeros(0, dtype=np.uint64)
         lo = np.zeros(0, dtype=np.int64)
         hi = np.zeros(0, dtype=np.int64)
-        for c in alphabet:  # depth-1 seeds, lexicographic
+        for ci, c in enumerate(alphabet):  # depth-1 seeds, lexicographic
             if self.C[c + 1] > self.C[c]:
-                keys = np.append(keys, np.uint64(c - alphabet[0]))
+                # digit = enumeration index (base-|alphabet| like deeper
+                # levels; c - alphabet[0] breaks non-contiguous alphabets)
+                keys = np.append(keys, np.uint64(ci))
                 lo = np.append(lo, self.C[c])
                 hi = np.append(hi, self.C[c + 1])
         base = np.uint64(len(alphabet))

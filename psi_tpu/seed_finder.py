@@ -56,6 +56,8 @@ class SeedFinder:
         self._graph_arrays = None
         self._path_map = None
         self._map_arrays = None
+        self._stream_arrays = None
+        self._ftab_np = None
 
     # === path picking =======================================================
     def _set_context(self, context: int, patched: bool) -> int:
@@ -130,6 +132,8 @@ class SeedFinder:
             self._build_path_map()
             self._fm_arrays = None
             self._map_arrays = None
+            self._stream_arrays = None
+            self._ftab_np = None
 
     def _build_path_map(self):
         """Flat arrays mapping a global forward path position to
@@ -420,6 +424,8 @@ class SeedFinder:
             self._build_path_map()
             self._fm_arrays = None
             self._map_arrays = None
+            self._stream_arrays = None
+            self._ftab_np = None
         if not self.open_starts(prefix, self.seed_len, step_size):
             self.add_uncovered_loci(step_size)
             self.save_starts(prefix, self.seed_len, step_size)
@@ -500,7 +506,7 @@ class SeedFinder:
         return jax.default_backend() not in ("cpu",)
 
     def _get_stream_arrays(self):
-        if getattr(self, "_stream_arrays", None) is None:
+        if self._stream_arrays is None:
             from psi_tpu.ops import fm_stream
 
             self._stream_arrays = fm_stream.build_stream_arrays(
@@ -523,7 +529,7 @@ class SeedFinder:
         uniq, inv = np.unique(search_keys, return_inverse=True)
         sarr = self._get_stream_arrays()
         on_tpu = jax.default_backend() not in ("cpu",)
-        if getattr(self, "_ftab_np", None) is None:
+        if self._ftab_np is None:
             from psi_tpu.ops import fm as fm_ops
 
             bits = self._ftab_bits()
@@ -635,10 +641,8 @@ class SeedFinder:
         present = counts > 0
         emit = present & (counts <= thr)
         skipped = present & ~emit
-        for c in counts[emit]:
-            tstats.add_seed_gocc(int(c))
-        for _ in range(int(skipped.sum())):
-            tstats.inc_gocc_skips()
+        tstats.add_seed_gocc_bulk(int(counts[emit].sum()), int(emit.sum()))
+        tstats.inc_gocc_skips(int(skipped.sum()))
 
         if not emit.any():
             return None
@@ -770,14 +774,16 @@ class SeedFinder:
         """Whole-read exact matching over the path index
         (ref: all_exact_matches, index_iter.hpp:928-948; per-read
         backward search, occurrences mapped to graph loci,
-        match_len = read length, gocc left 0 as in the reference)."""
+        match_len = read length, gocc left 0 as in the reference).
+        N is a real Dna5 symbol (code 5) on both the read and text
+        sides, matching the reference's Dna5-vs-Dna5 semantics."""
         fm = self.pindex.fm
         if fm is None or fm.size == 0:
             return
         pm = self._path_map
         for rid in range(len(reads)):
             seq = reads.seqs[rid]
-            if not seq or "N" in seq:
+            if not seq:
                 continue
             lo, hi = fm.backward_search(seq[::-1])
             if lo >= hi:
@@ -928,6 +934,11 @@ class SeedFinder:
                     jnp.asarray(n, dtype=jnp.int32),
                     self.seed_len, cap,
                 )
+            if bool(overflow):
+                cap *= 2
+                continue
+            if not self.seed_mismatches:
+                # only account the final (non-overflowing) run's counters
                 gd, ended, ended_len = (
                     int(v) for v in np.asarray(tstats_dev)
                 )
@@ -936,9 +947,6 @@ class SeedFinder:
                     gd, ended + int(n_used),
                     ended_len + int(n_used) * self.seed_len,
                 )
-            if bool(overflow):
-                cap *= 2
-                continue
             break
         n_used = int(n_used)
         return trav.traverse_columnar_from_states(

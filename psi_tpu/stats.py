@@ -62,6 +62,18 @@ class Timer:
         return t.lap() if t else 0.0
 
     @classmethod
+    def get_duration_ts(cls, name: str) -> float:
+        """Summed duration over all thread-scoped instances of a timer
+        (timeit_ts suffixes names with the thread id, so an exact-name
+        lookup never matches; ref thread-scoped timers:
+        seed_finder.hpp:427-456)."""
+        prefix = name + "-"
+        return sum(
+            t.lap() for n, t in cls._timers.items()
+            if n == name or n.startswith(prefix)
+        )
+
+    @classmethod
     def reset_all(cls):
         with cls._lock:
             cls._timers.clear()
@@ -128,8 +140,15 @@ class ThreadStats:
         self.seed_gocc_sum += count
         self.seed_gocc_n += 1
 
-    def inc_gocc_skips(self):
-        self.gocc_skips += 1
+    def add_seed_gocc_bulk(self, total: int, n: int):
+        """Accumulate n seeds with summed gocc `total` in O(1) (the hot
+        path feeds whole emit batches; per-seed Python calls were
+        O(distinct k-mers) per chunk)."""
+        self.seed_gocc_sum += total
+        self.seed_gocc_n += n
+
+    def inc_gocc_skips(self, n: int = 1):
+        self.gocc_skips += n
 
     def avg_gocc(self) -> float:
         return self.seed_gocc_sum / self.seed_gocc_n if self.seed_gocc_n else 0.0

@@ -140,3 +140,54 @@ def test_cyclic_graph_terminates():
     finder.index_paths()
     finder.add_uncovered_loci()
     assert len(finder.pindex) == 2
+
+
+def test_all_exact_matches_n_containing_read(data_dir):
+    """N is a real Dna5 symbol on both sides (ref: index_iter.hpp:928-948
+    searches Dna5 reads against a Dna5 text); an N-containing read whose
+    exact sequence occurs on an indexed path must match."""
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+
+    g = Graph.from_parts({1: "ACGTNACGTTT"}, [], [("ref", [1])])
+    f = SeedFinder(g, 4)
+    f.pick_paths(1, patched=False)
+    f.index_paths()
+    reads = Records(["r0", "r1"], ["GTNAC", "GTAAC"])
+    hits = []
+    f.all_exact_matches(reads, hits.append)
+    assert [(h.node_id, h.node_offset, h.read_id) for h in hits] == [(1, 2, 0)]
+
+
+def test_timer_get_duration_ts():
+    from psi_tpu.stats import Timer, timeit_ts
+
+    Timer.reset_all()
+    with timeit_ts("unit-ts-probe"):
+        pass
+    assert Timer.get_duration_ts("unit-ts-probe") > 0.0
+    assert Timer.get_duration("unit-ts-probe") == 0.0  # the bug this guards
+    Timer.reset_all()
+
+
+def test_stats_bulk_gocc():
+    from psi_tpu.stats import ThreadStats
+
+    ts = ThreadStats()
+    ts.add_seed_gocc_bulk(10, 4)
+    ts.inc_gocc_skips(3)
+    assert ts.avg_gocc() == 2.5
+    assert ts.gocc_skips == 3
+
+
+def test_all_kmers_noncontiguous_alphabet():
+    """Custom (non-contiguous) alphabets must produce base-|alphabet|
+    code-digit keys at every depth (advisor finding: depth-1 digits used
+    c - alphabet[0])."""
+    from psi_tpu.fmindex import FMIndex
+
+    fm = FMIndex.build_from_strings(["ATTATA"])  # codes: A=1, T=4
+    keys, counts, _ = fm.all_kmers(2, alphabet=(1, 4))
+    got = {int(k): int(c) for k, c in zip(keys, counts)}
+    # digits: A->0, T->1 (enumeration index); key = d0*2 + d1
+    assert got == {0b01: 2, 0b10: 2, 0b11: 1}  # AT=01, TA=10, TT=11
