@@ -246,6 +246,9 @@ def main(argv: Optional[list] = None) -> int:
             chunk = Records(names, seqs, rec_offset=offset)
             seeds = finder.get_seeds(chunk, args.distance)
             index = finder.index_reads(seeds)
+            # trie schedule + device transfer off the critical path:
+            # overlaps with device compute of the previous chunk
+            finder.prepare_onpath(index)
             work_q.put((chunk, seeds, index))
             if args.chunk_size == 0:
                 work_q.put(None)

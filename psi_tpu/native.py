@@ -83,6 +83,24 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.psi_uncovered_export.restype = None
         lib.psi_uncovered_free.argtypes = [ctypes.c_void_p]
         lib.psi_uncovered_free.restype = None
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.psi_trie_schedule.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64
+        ]
+        lib.psi_trie_schedule.restype = ctypes.c_void_p
+        lib.psi_trie_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.psi_trie_sizes.restype = None
+        lib.psi_trie_level.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i32p, i32p
+        ]
+        lib.psi_trie_level.restype = None
+        lib.psi_trie_leaf_perm.argtypes = [ctypes.c_void_p, i32p]
+        lib.psi_trie_leaf_perm.restype = None
+        lib.psi_trie_frontier.argtypes = [ctypes.c_void_p, i64p]
+        lib.psi_trie_frontier.restype = ctypes.c_int64
+        lib.psi_trie_free.argtypes = [ctypes.c_void_p]
+        lib.psi_trie_free.restype = None
         RAND_FN = ctypes.CFUNCTYPE(ctypes.c_int64, ctypes.c_int64)
         lib._RAND_FN = RAND_FN
         lib.psi_pick_paths.argtypes = [
@@ -234,6 +252,42 @@ def pick_paths(node_len, out_indptr, out_indices, region_starts, n: int,
     finally:
         lib.psi_pick_paths_free(handle)
     return indptr, nodes, lefts, rights
+
+
+def trie_schedule(keys: np.ndarray, k: int, frontier_level: int = 0):
+    """Native trie child-schedule (pattern-order frontier + counting
+    sort, no per-level argsorts). Returns (parents, chars, leaf_perm,
+    frontier_rows) or None without the library. parents/chars are
+    tuples of int32 arrays, one per level 1..k, in pattern order;
+    leaf_perm[i] = leaf slot of sorted-key i; frontier_rows = the
+    level-`frontier_level` prefix values in pattern order (None when
+    frontier_level == 0), for ftab seeding."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = len(keys)
+    handle = lib.psi_trie_schedule(keys, n, k, frontier_level)
+    try:
+        sizes = np.empty(k, dtype=np.int64)
+        lib.psi_trie_sizes(handle, sizes)
+        parents, chars = [], []
+        for j in range(1, k + 1):
+            F = int(sizes[j - 1])
+            p = np.empty(F, dtype=np.int32)
+            c = np.empty(F, dtype=np.int32)
+            lib.psi_trie_level(handle, j, p, c)
+            parents.append(p)
+            chars.append(c)
+        leaf_perm = np.empty(n, dtype=np.int32)
+        lib.psi_trie_leaf_perm(handle, leaf_perm)
+        rows = None
+        if 0 < frontier_level < k:
+            rows = np.empty(int(sizes[frontier_level - 1]), dtype=np.int64)
+            lib.psi_trie_frontier(handle, rows)
+    finally:
+        lib.psi_trie_free(handle)
+    return tuple(parents), tuple(chars), leaf_perm, rows
 
 
 def fastq_scan(buf: bytes, max_records: int):

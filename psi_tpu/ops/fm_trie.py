@@ -65,12 +65,49 @@ class TrieSchedule(NamedTuple):
     sizes: Tuple[int, ...]
     leaf_perm: np.ndarray
     k: int
+    #: pattern-order prefix values of the frontier at `frontier_level`
+    #: (ftab row indices); None when no frontier was requested
+    frontier_rows: np.ndarray | None = None
+    frontier_level: int = 0
 
 
-def build_schedule(keys: np.ndarray, k: int) -> TrieSchedule:
+def build_schedule(
+    keys: np.ndarray, k: int, frontier_level: int = 0
+) -> TrieSchedule:
     """keys: sorted distinct uint64 packed k-mers (c0 most significant,
-    2-bit codes). Vectorized O(N log N) per level."""
+    2-bit codes). Native pattern-order counting builder when available
+    (sequential passes, cache-resident byte planes), else vectorized
+    O(N log N)-per-level NumPy. `frontier_level` > 0 additionally
+    returns that level's frontier prefix values (for ftab seeding)."""
     keys = np.asarray(keys, dtype=np.uint64)
+    from psi_tpu import native
+
+    nat = (
+        native.trie_schedule(keys, k, frontier_level) if len(keys) else None
+    )
+    if nat is not None:
+        parents, chars, leaf_perm, rows = nat
+        return TrieSchedule(
+            parents=parents,
+            chars=chars,
+            sizes=tuple(len(p) for p in parents),
+            leaf_perm=leaf_perm.astype(np.int64),
+            k=k,
+            frontier_rows=rows,
+            frontier_level=frontier_level if rows is not None else 0,
+        )
+    sched = _build_schedule_np(keys, k)
+    if 0 < frontier_level < k:
+        kpref, order = _frontier_at(keys, k, frontier_level)
+        sched = sched._replace(
+            frontier_rows=kpref[order].astype(np.int64),
+            frontier_level=frontier_level,
+        )
+    return sched
+
+
+def _build_schedule_np(keys: np.ndarray, k: int) -> TrieSchedule:
+    """Pure-NumPy fallback (argsort per level)."""
     N = len(keys)
     parents: List[np.ndarray] = []
     chars: List[np.ndarray] = []
@@ -213,22 +250,35 @@ def _frontier_at(keys: np.ndarray, k: int, p: int):
     return kpref, order
 
 
-def trie_search(
-    arrays: StreamArrays,
+class PreparedTrie(NamedTuple):
+    """Device-ready trie plan: padded per-level schedules (+ optional
+    ftab-seeded frontier). Building this is the host-side critical-path
+    cost of the on-path route, so `prepare` is designed to run on the
+    producer thread, overlapped with device compute of the previous
+    chunk (the dual-iterator prefix-reuse economics of the reference,
+    ref: include/psi/index_iter.hpp:808-852, amortized off-path)."""
+
+    parents: jax.Array        # int32 [levels, Npad]
+    chars: jax.Array          # int32 [levels, Npad]
+    lo0: jax.Array | None     # ftab-seeded level-p frontier
+    hi0: jax.Array | None
+    leaf_perm: np.ndarray
+    n: int
+
+
+def prepare(
     keys: np.ndarray,
     k: int,
-    use_pallas: bool = False,
-    interpret: bool = False,
     ftab: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """SA ranges for sorted distinct packed keys, via frontier level
-    extension. Returns (lo, hi) int32 [N] in key order (empty ranges
-    have lo == hi at an unspecified value).
-
-    With `ftab` (int32 [4**p, 2] from fm.build_ftab), the level-p
-    frontier is seeded by a host table lookup and the device runs only
-    levels p+1..k."""
-    sched = build_schedule(keys, k)
+) -> PreparedTrie:
+    """Host precompute for `trie_search`: schedule build + padding +
+    device transfer. Thread-safe; call from a producer thread."""
+    p = 0
+    if ftab is not None:
+        p = (int(ftab.shape[0]).bit_length() - 1) // 2
+        if not (0 < p < k):
+            p = 0
+    sched = build_schedule(keys, k, frontier_level=p)
     N = len(keys)
     # power-of-two tile-multiple padding: bounds the number of compiled
     # shapes across chunks of varying distinct-key counts
@@ -237,19 +287,15 @@ def trie_search(
         Npad *= 2
     start = 0
     lo0 = hi0 = None
-    if ftab is not None:
-        p = (int(ftab.shape[0]).bit_length() - 1) // 2
-        if 0 < p < k:
-            start = p
-            kpref, order = _frontier_at(keys, k, p)
-            ranges = ftab[kpref][order]          # pattern order
-            F = len(kpref)
-            lo0 = jnp.asarray(_pad_level(
-                ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
-            ))
-            hi0 = jnp.asarray(_pad_level(
-                ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
-            ))
+    if sched.frontier_level:
+        start = p
+        ranges = ftab[sched.frontier_rows]       # pattern order
+        lo0 = jnp.asarray(_pad_level(
+            ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
+        ))
+        hi0 = jnp.asarray(_pad_level(
+            ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
+        ))
     parents = np.stack(
         [_pad_level(q, Npad, max(int(q[-1]), 0))
          for q in sched.parents[start:]]
@@ -257,15 +303,44 @@ def trie_search(
     chars = np.stack(
         [_pad_level(c, Npad, int(c[-1])) for c in sched.chars[start:]]
     )
-    lo, hi = _trie_device(
-        arrays,
-        jnp.asarray(parents),
-        jnp.asarray(chars),
-        use_pallas=use_pallas,
-        interpret=interpret,
+    return PreparedTrie(
+        parents=jnp.asarray(parents),
+        chars=jnp.asarray(chars),
         lo0=lo0,
         hi0=hi0,
+        leaf_perm=sched.leaf_perm,
+        n=N,
     )
-    lo = np.asarray(lo)[sched.leaf_perm]
-    hi = np.asarray(hi)[sched.leaf_perm]
+
+
+def trie_search(
+    arrays: StreamArrays,
+    keys: np.ndarray,
+    k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    ftab: np.ndarray | None = None,
+    prepared: PreparedTrie | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SA ranges for sorted distinct packed keys, via frontier level
+    extension. Returns (lo, hi) int32 [N] in key order (empty ranges
+    have lo == hi at an unspecified value).
+
+    With `ftab` (int32 [4**p, 2] from fm.build_ftab), the level-p
+    frontier is seeded by a host table lookup and the device runs only
+    levels p+1..k. Pass `prepared` (from `prepare`) to skip the host
+    schedule build entirely."""
+    if prepared is None:
+        prepared = prepare(keys, k, ftab)
+    lo, hi = _trie_device(
+        arrays,
+        prepared.parents,
+        prepared.chars,
+        use_pallas=use_pallas,
+        interpret=interpret,
+        lo0=prepared.lo0,
+        hi0=prepared.hi0,
+    )
+    lo = np.asarray(lo)[prepared.leaf_perm]
+    hi = np.asarray(hi)[prepared.leaf_perm]
     return lo, hi

@@ -58,6 +58,9 @@ class SeedFinder:
         self._map_arrays = None
         self._stream_arrays = None
         self._ftab_np = None
+        import threading
+
+        self._prep_lock = threading.Lock()
 
     # === path picking =======================================================
     def _set_context(self, context: int, patched: bool) -> int:
@@ -514,31 +517,77 @@ class SeedFinder:
             )
         return self._stream_arrays
 
-    def _search_stream(self, search_keys: np.ndarray, k: int):
+    def _get_ftab(self):
+        """Lazy prefix table; thread-safe (producer thread calls this)."""
+        if self._ftab_np is None:
+            with self._prep_lock:
+                if self._ftab_np is None:
+                    from psi_tpu.ops import fm as fm_ops
+
+                    bits = self._ftab_bits()
+                    self._ftab_np = (
+                        fm_ops.build_ftab(self.pindex.fm, bits)
+                        if bits
+                        else False
+                    )
+        return self._ftab_np if self._ftab_np is not False else None
+
+    def _onpath_search_keys(self, index: SeedsIndex):
+        """The deterministic key pipeline of the on-path route: distinct
+        seed k-mers (+ Hamming-ball expansion under --mismatches) and
+        the maps back to seed groups."""
+        uniq_keys, uniq_start = np.unique(index.sorted_keys, return_index=True)
+        if self.seed_mismatches:
+            from psi_tpu.ops.kmers import expand_hamming
+
+            search_keys, origin = expand_hamming(
+                uniq_keys, self.seed_len, self.seed_mismatches
+            )
+        else:
+            search_keys = uniq_keys
+            origin = np.arange(len(uniq_keys), dtype=np.int64)
+        return uniq_keys, uniq_start, search_keys, origin
+
+    def prepare_onpath(self, index: SeedsIndex) -> None:
+        """Precompute the on-path trie plan (schedule + padding + device
+        transfer) for a chunk. Query methods are side-effect-free, so
+        this can run on the producer thread, overlapped with device
+        compute of the previous chunk — it removes the host schedule
+        build from the critical path entirely."""
+        if index.size == 0 or not self._stream_enabled():
+            return
+        if self.pindex.fm is None or self.pindex.fm.size == 0:
+            return
+        from psi_tpu.ops import fm_trie
+
+        _, _, search_keys, _ = self._onpath_search_keys(index)
+        uniq, inv = np.unique(search_keys, return_inverse=True)
+        prepared = fm_trie.prepare(uniq, self.seed_len, self._get_ftab())
+        index._onpath_prep = (uniq, inv, prepared)
+
+    def _search_stream(self, search_keys: np.ndarray, k: int, prep=None):
         """Trie-batched backward search (frontier level extension over
         distinct sorted keys; ops/fm_trie.py). Pallas kernels on TPU,
         XLA fallback elsewhere.
 
         search_keys may be unsorted or contain duplicates (Hamming-ball
-        expansion); results are returned in input order.
+        expansion); results are returned in input order. `prep` is a
+        (uniq, inv, PreparedTrie) tuple from `prepare_onpath`.
         """
         import jax
 
         from psi_tpu.ops import fm_trie
 
-        uniq, inv = np.unique(search_keys, return_inverse=True)
+        if prep is not None:
+            uniq, inv, prepared = prep
+        else:
+            uniq, inv = np.unique(search_keys, return_inverse=True)
+            prepared = None
         sarr = self._get_stream_arrays()
         on_tpu = jax.default_backend() not in ("cpu",)
-        if self._ftab_np is None:
-            from psi_tpu.ops import fm as fm_ops
-
-            bits = self._ftab_bits()
-            self._ftab_np = (
-                fm_ops.build_ftab(self.pindex.fm, bits) if bits else False
-            )
-        ftab = self._ftab_np if self._ftab_np is not False else None
         lo, hi = fm_trie.trie_search(
-            sarr, uniq, k, use_pallas=on_tpu, ftab=ftab
+            sarr, uniq, k, use_pallas=on_tpu, ftab=self._get_ftab(),
+            prepared=prepared,
         )
         return lo[inv], hi[inv]
 
@@ -611,25 +660,17 @@ class SeedFinder:
         if index.size == 0:
             return None
         # distinct k-mers and their seed-range boundaries in sorted order
-        uniq_keys, uniq_start = np.unique(index.sorted_keys, return_index=True)
+        # (mismatch expansion handled inside _onpath_search_keys)
+        uniq_keys, uniq_start, search_keys, origin = (
+            self._onpath_search_keys(index)
+        )
         uniq_end = np.append(uniq_start[1:], index.size)
-
-        if self.seed_mismatches:
-            # mismatch-tolerant on-path route: search the whole Hamming
-            # ball of every distinct seed k-mer (an exact-variant match
-            # == a <= m-mismatch match of the original seed)
-            from psi_tpu.ops.kmers import expand_hamming
-
-            search_keys, origin = expand_hamming(
-                uniq_keys, k, self.seed_mismatches
-            )
-        else:
-            search_keys = uniq_keys
-            origin = np.arange(len(uniq_keys), dtype=np.int64)
 
         arrays = self._get_fm_arrays()
         if self._stream_enabled():
-            lo, hi = self._search_stream(search_keys, k)
+            lo, hi = self._search_stream(
+                search_keys, k, prep=getattr(index, "_onpath_prep", None)
+            )
         else:
             codes = fm_ops.keys_to_codes(search_keys, k)
             lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))

@@ -66,6 +66,31 @@ def test_fastx_stream_native_path(data_dir):
     assert n3 == []
 
 
+@pytest.mark.parametrize("seed,k", [(0, 4), (1, 9), (2, 20), (3, 31)])
+def test_trie_schedule_matches_numpy(seed, k):
+    """Native pattern-order counting builder vs the NumPy argsort
+    reference, including leaf permutation and ftab frontier rows."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(seed)
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    keys = np.unique(
+        rng.randint(0, 1 << 62, size=2000, dtype=np.uint64) & mask
+    )
+    keys.sort()
+    p = max(1, k // 2)
+    nat = native.trie_schedule(keys, k, p)
+    assert nat is not None
+    parents, chars, leaf_perm, rows = nat
+    ref = fm_trie._build_schedule_np(keys, k)
+    for j in range(k):
+        np.testing.assert_array_equal(ref.parents[j], parents[j])
+        np.testing.assert_array_equal(ref.chars[j], chars[j])
+    np.testing.assert_array_equal(ref.leaf_perm, leaf_perm)
+    kpref, order = fm_trie._frontier_at(keys, k, p)
+    np.testing.assert_array_equal(rows, kpref[order].astype(np.int64))
+
+
 def test_fm_build_uses_native():
     from psi_tpu.fmindex import FMIndex
 

@@ -139,6 +139,43 @@ def test_seed_finder_stream_route_matches_default(monkeypatch, tmp_path):
     assert default == stream
 
 
+def test_seed_finder_prepare_onpath_matches(monkeypatch):
+    """prepare_onpath (producer-thread precompute) yields the identical
+    hit multiset to the unprepared stream route."""
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    rng = np.random.RandomState(11)
+    seq = "".join(rng.choice(list("ACGT"), size=600))
+    g = Graph.from_parts(nodes={1: seq}, edges=[], paths=[("ref", [1])])
+    monkeypatch.setenv("PSI_STREAM", "1")
+
+    def run(prep):
+        finder = SeedFinder(g, seed_len=12)
+        finder.create_path_index(n=1, patched=False)
+        reads = Records(
+            ["r0", "r1", "r2"],
+            [seq[3: 3 + 60], seq[250: 250 + 60], seq[500: 500 + 60]],
+        )
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        if prep:
+            finder.prepare_onpath(index)
+            assert getattr(index, "_onpath_prep", None) is not None
+        hits = []
+        finder.seeds_on_paths(seeds, index, hits.append)
+        return sorted(
+            (s.node_id, s.node_offset, s.read_id, s.read_offset, s.gocc)
+            for s in hits
+        )
+
+    plain = run(False)
+    prepared = run(True)
+    assert len(plain) > 0
+    assert plain == prepared
+
+
 def test_trie_search_matches_generic():
     """Frontier level extension vs the per-query scan, on a text large
     enough for many payload windows (regression: correctness must not
