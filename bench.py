@@ -1,11 +1,21 @@
-"""Benchmark: batched FM backward search (the engine's hot kernel) on TPU.
+"""Benchmark: the on-path seed query pipeline (the engine's hot path) on TPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline = speedup over the single-core host (NumPy) backward search —
-the stand-in for the reference's single-thread sdsl inner loop, since the
-reference repo publishes no absolute numbers (BASELINE.md) and its C++
+Headline = SUSTAINED on-path throughput: the full production per-chunk
+pipeline (seeding -> k-mer index -> trie schedule + upload [producer
+thread] -> device trie search -> locate -> graph mapping -> hit
+emission) through the real SeedFinder, pipelined exactly like a
+deployment (producer + 2 chunk workers, the reference's thread-per-chunk
+design; ref: seed_finder.hpp:386-399). Device-kernel-only rates are
+also measured and reported as secondary fields.
+
+vs_baseline = sustained rate over an ESTIMATE of the reference's
+single-core C++ sdsl inner loop: the measured single-core NumPy
+backward-search loop scaled by 8x (sdsl sustains ~25-50 K k=20
+patterns/s vs ~5 K measured for NumPy; see docs/BENCH_NOTES.md). The
+reference repo publishes no absolute numbers (BASELINE.md) and its
 toolchain cannot be built in this zero-egress image.
 """
 
@@ -42,6 +52,101 @@ def probe_tpu(timeout_s: int = 90, attempts: int = 3) -> bool:
         if i + 1 < attempts:
             time.sleep(30)
     return False
+
+
+def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
+    """Sustained on-path pipeline: producer thread (parse + seed +
+    index + trie schedule + upload) feeding 2 chunk workers running
+    SeedFinder.seeds_on_paths_arrays (device search + locate + map +
+    emission). Returns (keys_per_s, seeds_per_s, hits) over the
+    steady-state chunks (first chunk = warmup/compile, excluded)."""
+    import queue
+    import threading
+
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    nodes = {i + 1: s for i, s in enumerate(strings)}
+    paths = [(f"ref{i+1}", [i + 1]) for i in range(len(strings))]
+    g = Graph.from_parts(nodes=nodes, edges=[], paths=paths)
+    finder = SeedFinder(g, seed_len=k)
+    t0 = time.monotonic()
+    finder.create_path_index(n=1, patched=False)
+    print(
+        f"# sustained: pindex build {time.monotonic()-t0:.1f}s; "
+        f"starting loci: {len(finder.get_starting_loci())}",
+        file=sys.stderr,
+    )
+
+    rng = np.random.RandomState(7)
+    path_len = len(strings[0])
+    work_q: "queue.Queue" = queue.Queue(maxsize=2)
+    done_q: "queue.Queue" = queue.Queue()
+    workers = 2
+
+    def producer():
+        for ci in range(n_chunks):
+            src = rng.randint(0, len(strings), size=reads_per_chunk)
+            starts = rng.randint(0, path_len - read_len, size=reads_per_chunk)
+            seqs = [
+                strings[s][p: p + read_len]
+                for s, p in zip(src, starts)
+            ]
+            names = [f"c{ci}r{i}" for i in range(reads_per_chunk)]
+            chunk = Records(names, seqs, rec_offset=ci * reads_per_chunk)
+            seeds = finder.get_seeds(chunk)
+            index = finder.index_reads(seeds)
+            finder.prepare_onpath(index)
+            nkeys = len(np.unique(index.sorted_keys))
+            work_q.put((ci, seeds, index, nkeys))
+        for _ in range(workers):
+            work_q.put(None)
+
+    def worker():
+        while True:
+            item = work_q.get()
+            if item is None:
+                done_q.put(None)
+                return
+            ci, seeds, index, nkeys = item
+            arr = finder.seeds_on_paths_arrays(seeds, index)
+            done_q.put(
+                (ci, nkeys, index.size, 0 if arr is None else len(arr))
+            )
+
+    threading.Thread(target=producer, daemon=True).start()
+    for _ in range(workers):
+        threading.Thread(target=worker, daemon=True).start()
+
+    t_start = None
+    keys = seeds_n = hits = done = ended = 0
+    while ended < workers:
+        item = done_q.get()
+        if item is None:
+            ended += 1
+            continue
+        done += 1
+        if t_start is None:
+            # first completed chunk = warmup (compiles, cache fills)
+            t_start = time.monotonic()
+            print(
+                f"# sustained: warmup chunk done ({item[1]} keys)",
+                file=sys.stderr,
+            )
+            continue
+        keys += item[1]
+        seeds_n += item[2]
+        hits += item[3]
+    dt = time.monotonic() - t_start
+    measured = done - 1
+    print(
+        f"# sustained: {measured} chunks in {dt:.2f}s "
+        f"({dt/max(1,measured)*1e3:.0f} ms/chunk, {keys} keys, "
+        f"{seeds_n} seeds, {hits} hits)",
+        file=sys.stderr,
+    )
+    return keys / dt, seeds_n / dt, hits
 
 
 def main():
@@ -218,17 +323,56 @@ def main():
         f"host: {host_rate:.3e} kmers/s; hits: {int((counts > 0).sum())}",
         file=sys.stderr,
     )
-    result = {
-        "metric": (
-            "fm_backward_search_throughput"
-            if on_tpu
-            else "fm_backward_search_throughput_cpu_fallback"
-        ),
-        "value": round(device_rate, 1),
-        "unit": "kmer_queries/s",
-        "vs_baseline": round(device_rate / host_rate, 2),
-        "platform": "tpu" if on_tpu else "cpu",
-    }
+
+    # sustained end-to-end pipeline (the honest headline: includes
+    # seeding, k-mer index, trie schedule + transfers, locate, mapping
+    # and emission, pipelined with a producer + 2 chunk workers)
+    sustained = None
+    try:
+        n_chunks = int(os.environ.get("PSI_BENCH_CHUNKS", "6"))
+        # 100 K reads -> ~500 K seeds -> ~470 K distinct keys: stays in
+        # the 2^19 padding bucket, one compiled shape across chunks
+        reads_per_chunk = int(
+            os.environ.get("PSI_BENCH_READS", str(min(100_000, n_queries)))
+        )
+        sustained = bench_sustained(strings, k, n_chunks, reads_per_chunk)
+    except Exception as exc:
+        print(f"# sustained bench unavailable: {exc}", file=sys.stderr)
+
+    # single-core C++ sdsl inner-loop estimate = 8x the measured NumPy
+    # loop (~25-50 K k=20 patterns/s vs ~5 K; docs/BENCH_NOTES.md)
+    cpp_baseline = host_rate * 8
+    if sustained is not None:
+        keys_s, seeds_s, _ = sustained
+        result = {
+            "metric": (
+                "onpath_sustained_throughput"
+                if on_tpu
+                else "onpath_sustained_throughput_cpu_fallback"
+            ),
+            "value": round(keys_s, 1),
+            "unit": "kmer_queries/s",
+            "vs_baseline": round(keys_s / cpp_baseline, 2),
+            "platform": "tpu" if on_tpu else "cpu",
+            "device_kernel_rate": round(device_rate, 1),
+            "seeds_per_s": round(seeds_s, 1),
+            "baseline": "8x measured single-core NumPy loop "
+                        "(C++ sdsl estimate, docs/BENCH_NOTES.md)",
+        }
+    else:
+        result = {
+            "metric": (
+                "fm_backward_search_throughput"
+                if on_tpu
+                else "fm_backward_search_throughput_cpu_fallback"
+            ),
+            "value": round(device_rate, 1),
+            "unit": "kmer_queries/s",
+            "vs_baseline": round(device_rate / cpp_baseline, 2),
+            "platform": "tpu" if on_tpu else "cpu",
+            "baseline": "8x measured single-core NumPy loop "
+                        "(C++ sdsl estimate, docs/BENCH_NOTES.md)",
+        }
 
     # the hot kernel is random-gather-bound; on this relay the local CPU
     # XLA dense path can beat the remote chip — measure both and report
@@ -254,7 +398,9 @@ def main():
                     )
                     if cpu_res["value"] > result["value"]:
                         result = cpu_res
-                        result["metric"] = "fm_backward_search_throughput"
+                        result["metric"] = result["metric"].replace(
+                            "_cpu_fallback", ""
+                        )
                         result["platform"] = "cpu (beat tpu: gather-bound kernel)"
         except Exception as exc:  # comparison is best-effort
             print(f"# cpu comparison failed: {exc}", file=sys.stderr)

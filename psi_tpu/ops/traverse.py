@@ -26,7 +26,7 @@ from psi_tpu.graph import Graph, Position
 from psi_tpu.records import SeedsIndex
 from psi_tpu.seed import Seed
 
-BLOCK = 128
+from psi_tpu.records import BLOCK
 
 
 class GraphArrays(NamedTuple):
@@ -57,41 +57,44 @@ def graph_to_device(graph: Graph) -> GraphArrays:
 class SeedsArrays(NamedTuple):
     """Device-resident reads-side index (see SeedsIndex)."""
 
-    chars: jax.Array  # uint8 [k, Vpad] per-depth codes of sorted keys
-    occ: jax.Array    # int32 [k, nb+1, 4] rank checkpoints
-    size: int         # V (static)
+    occ: jax.Array     # int32 [k, nb+1, 4] rank checkpoints
+    planes: jax.Array  # int32 [k, nb+1, 2] per-depth 2-bit plane words
+    size: int          # V (static)
 
 
 def seeds_to_device(index: SeedsIndex) -> SeedsArrays:
-    V = index.size
-    nb = (V + BLOCK - 1) // BLOCK
-    # one spare block: position V (range end) may index block nb
-    pad = (nb + 1) * BLOCK
-    chars = np.full((index.k, pad), 255, dtype=np.uint8)
-    chars[:, :V] = index.chars
     return SeedsArrays(
-        chars=jnp.asarray(chars),
         occ=jnp.asarray(index.occ),
-        size=V,
+        planes=jnp.asarray(index.planes),
+        size=index.size,
     )
 
 
 def _range_refine(seeds: SeedsArrays, depth, lo, hi, c):
     """Narrow [lo, hi) by char c at `depth` (vectorized over states).
 
-    Uses checkpoint + intra-block count, all int32.
+    Rank = occ checkpoint + masked popcount over the block's two plane
+    words (all int32; two's-complement masks are exact) — the same
+    low-traffic layout as the on-path bit-plane rank, replacing the
+    former [N, BLOCK, 4] one-hot materialization that dominated
+    traversal time at scale.
     """
     occ_d = seeds.occ[depth]                      # [nb+1, 4]
-    chars_d = seeds.chars[depth]                  # [Vpad]
+    planes_d = seeds.planes[depth]                # [nb+1, 2]
 
     def counts_at(i):
         """#(chars_d[0:i) == c') for all 4 c' -> [N, 4]."""
         b = i // BLOCK
         base = occ_d[b]                           # [N, 4]
-        blk = chars_d.reshape(-1, BLOCK)[b]       # [N, BLOCK]
-        within = jnp.arange(BLOCK, dtype=jnp.int32)[None, :] < (i % BLOCK)[:, None]
-        onehot = (blk[:, :, None] == jnp.arange(4, dtype=jnp.uint8)[None, None, :])
-        return base + jnp.sum(onehot & within[:, :, None], axis=1, dtype=jnp.int32)
+        pw = planes_d[b]                          # [N, 2]
+        p0 = pw[:, 0]
+        p1 = pw[:, 1]
+        maskw = (1 << (i % BLOCK)) - 1
+        outs = []
+        for c4 in range(4):
+            match = (p0 if c4 & 1 else ~p0) & (p1 if c4 >> 1 else ~p1)
+            outs.append(jax.lax.population_count(match & maskw))
+        return base + jnp.stack(outs, axis=1)
 
     c_lo = counts_at(lo)                          # [N, 4]
     c_hi = counts_at(hi)

@@ -16,7 +16,7 @@ import numpy as np
 
 from psi_tpu.ops.kmers import extract_kmers, pack_kmers, seq_to_codes
 
-BLOCK = 128  # rank checkpoint spacing for the per-depth structure
+BLOCK = 32  # rank checkpoint spacing: one 32-bit plane word per block
 
 
 class Records:
@@ -117,11 +117,18 @@ class SeedsIndex:
 
         nb = (V + BLOCK - 1) // BLOCK
         self.occ = np.zeros((k, nb + 1, 4), dtype=np.int32)
+        # per-depth 2-bit planes, one 32-bit word per block: device rank
+        # = occ checkpoint + masked popcount (no [N, BLOCK] one-hot).
+        # Padding beyond V never affects ranks (positions are <= V, the
+        # prefix mask excludes pad bits); occ checkpoints stop at V.
+        self.planes = np.zeros((k, nb + 1, 2), dtype=np.int32)
         if V:
+            weights = np.uint32(1) << np.arange(BLOCK, dtype=np.uint32)
+            padded = np.zeros(((nb + 1) * BLOCK,), dtype=np.uint32)
             for d in range(k):
                 occ_d = native.occ_checkpoints(self.chars[d], BLOCK, 4)
                 if occ_d is not None:
-                    self.occ[d] = occ_d
+                    self.occ[d, : nb + 1] = occ_d[: nb + 1]
                 else:
                     block_ends = np.minimum(
                         np.arange(1, nb + 1) * BLOCK, V
@@ -130,6 +137,12 @@ class SeedsIndex:
                         self.occ[d, 1:, c] = np.cumsum(
                             self.chars[d] == c
                         )[block_ends]
+                padded[:V] = self.chars[d]
+                sym = padded.reshape(-1, BLOCK)
+                for p in range(2):
+                    self.planes[d, :, p] = (
+                        ((sym >> p) & 1) * weights[None, :]
+                    ).sum(axis=1, dtype=np.uint32).view(np.int32)
 
     # --- host-side trie descent --------------------------------------------
     def root(self) -> Tuple[int, int]:
