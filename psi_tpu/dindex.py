@@ -168,12 +168,33 @@ class DistanceIndex:
                 return True
         return False
 
+    def _pair_keys(self) -> np.ndarray:
+        """Globally sorted (source, dst) row keys: sources are grouped
+        ascending by construction and dst is sorted within each source
+        segment (both builders), so v*(n+2)+dst is globally sorted —
+        one searchsorted localizes any (v, u) pair's interval rows."""
+        if getattr(self, "_pk", None) is None or len(self._pk) != len(self.dst):
+            src = np.repeat(
+                np.arange(len(self.src_indptr) - 1, dtype=np.int64) + 1,
+                np.diff(self.src_indptr),
+            )
+            self._pk = src * np.int64(self.n_nodes + 2) + self.dst
+            self._pk_maxmult = (
+                int(np.bincount(
+                    np.unique(self._pk, return_inverse=True)[1]
+                ).max()) if len(self._pk) else 0
+            )
+        return self._pk
+
     def verify_batch(
         self, graph: Graph, v: np.ndarray, o: np.ndarray,
         u: np.ndarray, p: np.ndarray,
     ) -> np.ndarray:
         """Vectorized pair verification for large batches (alice-dstats
-        style pair checking, ref: tools/src/alice.cpp:599-737)."""
+        style pair checking, ref: tools/src/alice.cpp:599-737): one
+        searchsorted over the sorted (source, dst) keys per batch, then
+        a fixed small number of masked interval probes (max interval
+        multiplicity per pair), no per-row Python."""
         v = np.asarray(v, dtype=np.int64)
         o = np.asarray(o, dtype=np.int64)
         u = np.asarray(u, dtype=np.int64)
@@ -186,22 +207,23 @@ class DistanceIndex:
             return out
         node_len = np.diff(graph.label_offsets)
         rest = np.nonzero(~same)[0]
+        if len(rest) == 0:
+            return out
         a = (node_len[v[rest] - 1] - 1 - o[rest]) + p[rest]
         s_lo = self.dmin - a
         s_hi = self.dmax - a
-        for idx_i, vi, ui, slo, shi in zip(
-            rest, v[rest], u[rest], s_lo, s_hi
-        ):
-            if shi < 1:
-                continue
-            r0, r1 = self.src_indptr[vi - 1], self.src_indptr[vi]
-            seg = slice(r0, r1)
-            hit = (
-                (self.dst[seg] == ui)
-                & (self.iv_lo[seg] <= shi)
-                & (self.iv_hi[seg] >= slo)
-            )
-            out[idx_i] = bool(hit.any())
+        pk = self._pair_keys()
+        q = v[rest] * np.int64(self.n_nodes + 2) + u[rest]
+        row0 = np.searchsorted(pk, q, side="left")
+        row1 = np.searchsorted(pk, q, side="right")
+        hit = np.zeros(len(rest), dtype=bool)
+        ok_q = s_hi >= 1
+        for t in range(self._pk_maxmult):
+            r = row0 + t
+            live = ok_q & (r < row1)
+            rc = np.minimum(r, len(self.dst) - 1)
+            hit |= live & (self.iv_lo[rc] <= s_hi) & (self.iv_hi[rc] >= s_lo)
+        out[rest] = hit
         return out
 
     # --- serialization ------------------------------------------------------

@@ -231,6 +231,87 @@ def backward_search_codes(
     return lo, hi
 
 
+def _rank_fn(arrays: FMArrays):
+    """Best available batched rank for this layout (dense/bitplane/
+    checkpointed)."""
+    if arrays.occ_dense is not None:
+        return lambda c, i: arrays.occ_dense[i, c - 1]
+    if arrays.planes is not None:
+        return lambda c, i: _rank_bitplane(arrays, c, i)
+    return lambda c, i: _rank(arrays, c, i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_out"))
+def find_mems_device(
+    arrays: FMArrays,
+    codes: jax.Array,     # int32 [N, L]: FM codes 1..4; 0 = 'N' or pad
+    rlens: jax.Array,     # int32 [N] read lengths
+    k: int,               # minimum MEM length
+    thr: jax.Array,       # int32 gocc threshold (big value = unlimited)
+    max_mem: jax.Array,   # int32 occurrence cap per read (big = unlimited)
+    max_out: int,         # MEM record slots per read
+):
+    """Batched find_mems: every read runs the reference's MEM automaton
+    (sliding start; descend per char; emit the range once plen >= k and
+    count <= threshold; restart after a hit / mismatch / 'N';
+    ref: include/psi/index_iter.hpp:854-906) — one lockstep device step
+    per cursor position, so L steps cover the whole batch.
+
+    Returns (out_lo, out_hi, out_start, out_plen int32 [N, max_out],
+    nout int32 [N], overflow bool []). A read can emit at most
+    ceil(L / (k+1)) + 1 MEMs; overflow reports max_out exhaustion.
+    """
+    N, L = codes.shape
+    n = arrays.n
+    rank = _rank_fn(arrays)
+    jslots = jnp.arange(max_out, dtype=jnp.int32)[None, :]
+
+    def step(t, state):
+        (start, plen, lo, hi, nout, occ_tot, finished,
+         out_lo, out_hi, out_start, out_plen, overflow) = state
+        cursor = start + plen
+        alive = ~finished & (cursor < rlens)
+        count = hi - lo
+        emit = alive & (plen >= k) & (count <= thr)
+        slot_hit = emit[:, None] & (jslots == nout[:, None])
+        out_lo = jnp.where(slot_hit, lo[:, None], out_lo)
+        out_hi = jnp.where(slot_hit, hi[:, None], out_hi)
+        out_start = jnp.where(slot_hit, start[:, None], out_start)
+        out_plen = jnp.where(slot_hit, plen[:, None], out_plen)
+        overflow = overflow | jnp.any(emit & (nout >= max_out))
+        nout = nout + emit
+        occ_tot = occ_tot + jnp.where(emit, count, 0)
+        finished = finished | (emit & (occ_tot >= max_mem))
+
+        ch = codes[jnp.arange(N), jnp.minimum(cursor, L - 1)]
+        restart = alive & (emit | (ch == 0))
+        c = jnp.clip(ch, 1, 4)
+        nlo = arrays.C[c] + rank(c, lo)
+        nhi = arrays.C[c] + rank(c, hi)
+        fail = alive & ~restart & (nlo >= nhi)
+        reset = restart | fail
+        start = jnp.where(reset, cursor + 1, start)
+        plen = jnp.where(
+            reset, 0, jnp.where(alive, plen + 1, plen)
+        )
+        lo = jnp.where(reset, 0, jnp.where(alive, nlo, lo))
+        hi = jnp.where(reset, n, jnp.where(alive, nhi, hi))
+        return (start, plen, lo, hi, nout, occ_tot, finished,
+                out_lo, out_hi, out_start, out_plen, overflow)
+
+    z = jnp.zeros(N, dtype=jnp.int32)
+    buf = jnp.zeros((N, max_out), dtype=jnp.int32)
+    state = (
+        z, z, z, jnp.full(N, n, dtype=jnp.int32), z, z,
+        jnp.zeros(N, dtype=jnp.bool_),
+        buf, buf, buf, buf, jnp.zeros((), dtype=jnp.bool_),
+    )
+    state = jax.lax.fori_loop(0, L, step, state)
+    (start, plen, lo, hi, nout, occ_tot, finished,
+     out_lo, out_hi, out_start, out_plen, overflow) = state
+    return out_lo, out_hi, out_start, out_plen, nout, overflow
+
+
 def keys_to_codes(keys: np.ndarray, k: int) -> np.ndarray:
     """Host: unpack uint64 keys to an int32 [N, k] FM-code matrix (1..4)."""
     shifts = (2 * (k - 1 - np.arange(k, dtype=np.uint64))).astype(np.uint64)

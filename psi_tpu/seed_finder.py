@@ -809,6 +809,95 @@ class SeedFinder:
             lo, hi = nlo, nhi
             plen += 1
 
+    def seeds_on_paths_seqs(
+        self, reads: Records, callback: Callable[[Seed], None]
+    ):
+        """Batched MEM query (library API used by aligners): every read
+        runs the find_mems automaton in one lockstep device scan
+        (ref: seed_finder.hpp:1459-1479 over index_iter.hpp:854-906),
+        replacing a per-character host loop per read. Hit multiset per
+        read matches seeds_on_paths_seq (read_offset = MEM start,
+        match_len = MEM length, gocc = occurrence count)."""
+        arr = self.find_mems_arrays(reads)
+        if arr is not None:
+            _emit_rows(arr, callback)
+
+    def find_mems_arrays(self, reads: Records):
+        """Columnar batched find_mems: structured SEED_DTYPE array."""
+        import jax.numpy as jnp
+
+        from psi_tpu.ops import fm as fm_ops
+
+        fm = self.pindex.fm
+        if fm is None or fm.size == 0 or len(reads) == 0:
+            return None
+        self.stats.get_this_thread_stats().set_progress(ProgressEnum.FIND_MEMS)
+        with self.stats.timeit_ts("query-paths"):
+            k = self.seed_len
+            N = len(reads)
+            L = max(len(s) for s in reads.seqs)
+            if L == 0:
+                return None
+            lut = np.zeros(256, dtype=np.int32)
+            for i, ch in enumerate("ACGT"):
+                lut[ord(ch)] = i + 1
+                lut[ord(ch.lower())] = i + 1
+            codes = np.zeros((N, L), dtype=np.int32)
+            rlens = np.zeros(N, dtype=np.int32)
+            for r, s in enumerate(reads.seqs):
+                b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                codes[r, : len(b)] = lut[b]
+                rlens[r] = len(b)
+            thr = self.gocc_threshold or (2**31 - 1)
+            mm = self.max_mem or (2**31 - 1)
+            # a read emits at most one MEM per k+1 consumed positions
+            max_out = L // (k + 1) + 2
+            out_lo, out_hi, out_start, out_plen, nout, _overflow = (
+                fm_ops.find_mems_device(
+                    self._get_fm_arrays(),
+                    jnp.asarray(codes),
+                    jnp.asarray(rlens),
+                    k,
+                    jnp.asarray(thr, dtype=jnp.int32),
+                    jnp.asarray(mm, dtype=jnp.int32),
+                    max_out,
+                )
+            )
+            nout = np.asarray(nout)
+            valid = (
+                np.arange(max_out, dtype=np.int32)[None, :] < nout[:, None]
+            )
+            if not valid.any():
+                return None
+            rr, _ = np.nonzero(valid)
+            lo_f = np.asarray(out_lo)[valid].astype(np.int64)
+            hi_f = np.asarray(out_hi)[valid].astype(np.int64)
+            start_f = np.asarray(out_start)[valid].astype(np.int64)
+            plen_f = np.asarray(out_plen)[valid].astype(np.int64)
+
+            # vectorized locate + graph mapping (same shape as the
+            # on-path emission; fwd flip uses each MEM's own length)
+            pm = self._path_map
+            widths = hi_f - lo_f
+            total = int(widths.sum())
+            occ_rows = np.repeat(np.arange(len(widths)), widths)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(widths) - widths, widths
+            )
+            occ_pos = fm.sa[lo_f[occ_rows] + within]
+            sid, q = fm.text_pos_to_string(occ_pos)
+            fwd = pm["lengths"][sid] - q - plen_f[occ_rows]
+            gpos = pm["seq_off"][sid] + fwd
+            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+            out = np.empty(total, dtype=SEED_DTYPE)
+            out["node_id"] = pm["ids"][entry]
+            out["node_offset"] = gpos - pm["starts"][entry] + pm["base"][entry]
+            out["read_id"] = reads.rec_offset + rr[occ_rows]
+            out["read_offset"] = start_f[occ_rows]
+            out["match_len"] = plen_f[occ_rows]
+            out["gocc"] = widths[occ_rows]
+            return out
+
     def all_exact_matches(
         self, reads: Records, callback: Callable[[Seed], None]
     ):

