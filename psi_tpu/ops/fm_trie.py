@@ -159,22 +159,43 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("use_pallas", "interpret", "packed")
+)
 def _trie_device(
     arrays: StreamArrays,
-    parents: jax.Array,   # int32 [levels, Npad]
-    chars: jax.Array,     # int32 [levels, Npad]
+    parents: jax.Array,   # int32 [levels, Npad]; packed: uint16 poff
+    chars: jax.Array,     # int32 [levels, Npad]; packed: int32 charpk
     use_pallas: bool = False,
     interpret: bool = False,
     lo0: jax.Array | None = None,   # optional ftab-seeded frontier
     hi0: jax.Array | None = None,
+    pbase: jax.Array | None = None,  # packed: int32 [levels, Npad//PSLAB]
+    packed: bool = False,
 ):
     n = arrays.n
-    Npad = parents.shape[1]
+    Npad = parents.shape[1]  # poff (packed) and parents are full-width
     if lo0 is None:
         lo0 = jnp.zeros(Npad, dtype=jnp.int32)
     if hi0 is None:
         hi0 = jnp.full(Npad, n, dtype=jnp.int32)
+
+    def unpack(xs):
+        if not packed:
+            parent, c = xs
+            return parent, c
+        poff_l, pbase_l, charpk_l = xs
+        parent = jnp.repeat(pbase_l, PSLAB) + poff_l.astype(jnp.int32)
+        c = (
+            (
+                charpk_l[:, None]
+                >> (2 * jnp.arange(16, dtype=jnp.int32))[None, :]
+            )
+            & 3
+        ).reshape(-1) + 1
+        return parent, c
+
+    xs = (parents, pbase, chars) if packed else (parents, chars)
 
     if use_pallas:
         def level(state, xs):
@@ -183,7 +204,7 @@ def _trie_device(
             # SLOWER on v5e than two separate passes (grid doubles and
             # compact windows halve in parent coverage); keep two.
             lo, hi = state
-            parent, c = xs
+            parent, c = unpack(xs)
             r4lo = fm_stream.rank4_stream(arrays, lo, interpret=interpret)
             r4hi = fm_stream.rank4_stream(arrays, hi, interpret=interpret)
             new_lo, new_hi = fm_stream.compact_children(
@@ -191,7 +212,7 @@ def _trie_device(
             )
             return (new_lo, new_hi), None
 
-        (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), (parents, chars))
+        (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
         return lo, hi
 
     if True:
@@ -219,7 +240,7 @@ def _trie_device(
 
     def level(state, xs):
         lo, hi = state
-        parent, c = xs
+        parent, c = unpack(xs)
         r4lo = rank4(lo)
         r4hi = rank4(hi)
         # compact: child i <- (parent[i], c[i])
@@ -232,7 +253,7 @@ def _trie_device(
         new_hi = arrays.C[c] + jnp.take_along_axis(phi, cm1[None, :], axis=0)[0]
         return (new_lo, new_hi), None
 
-    (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), (parents, chars))
+    (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
     return lo, hi
 
 
@@ -250,17 +271,33 @@ def _frontier_at(keys: np.ndarray, k: int, p: int):
     return kpref, order
 
 
+PSLAB = 1024  # parent-rebase slab (children per uint16-offset window)
+
+
 class PreparedTrie(NamedTuple):
     """Device-ready trie plan: padded per-level schedules (+ optional
     ftab-seeded frontier). Building this is the host-side critical-path
     cost of the on-path route, so `prepare` is designed to run on the
     producer thread, overlapped with device compute of the previous
     chunk (the dual-iterator prefix-reuse economics of the reference,
-    ref: include/psi/index_iter.hpp:808-852, amortized off-path)."""
+    ref: include/psi/index_iter.hpp:808-852, amortized off-path).
 
-    parents: jax.Array        # int32 [levels, Npad]
-    chars: jax.Array          # int32 [levels, Npad]
-    lo0: jax.Array | None     # ftab-seeded level-p frontier
+    Two wire formats (chosen by `prepare`; host->device upload is the
+    sustained-throughput bottleneck on tunneled chips):
+      * packed: chars as 2-bit codes 16/word (charpk) + parents as
+        per-1024-slab rebased uint16 offsets over int32 slab bases
+        (~4.4x smaller than int32 pairs); decodable with three vector
+        ops on device;
+      * plain: int32 parents/chars (fallback when some slab's parent
+        span exceeds uint16 — only possible for extremely sparse child
+        densities)."""
+
+    parents: jax.Array | None  # int32 [levels, Npad] (plain format)
+    chars: jax.Array | None    # int32 [levels, Npad] (plain format)
+    poff: jax.Array | None     # uint16 [levels, Npad] (packed format)
+    pbase: jax.Array | None    # int32 [levels, Npad // PSLAB]
+    charpk: jax.Array | None   # int32 [levels, Npad // 16]
+    lo0: jax.Array | None      # ftab-seeded level-p frontier
     hi0: jax.Array | None
     leaf_perm: np.ndarray
     n: int
@@ -303,9 +340,41 @@ def prepare(
     chars = np.stack(
         [_pad_level(c, Npad, int(c[-1])) for c in sched.chars[start:]]
     )
+
+    # packed wire format (4.4x less upload): per-slab parent rebase +
+    # 2-bit char codes, unless some slab spans > uint16 parents
+    import os
+
+    if os.environ.get("PSI_TRIE_PACK", "1") not in ("", "0"):
+        levels = parents.shape[0]
+        pslab = parents.reshape(levels, Npad // PSLAB, PSLAB)
+        pbase = pslab.min(axis=2)
+        off = pslab - pbase[:, :, None]
+        if off.max(initial=0) <= np.iinfo(np.uint16).max:
+            cpk = (chars - 1).reshape(levels, Npad // 16, 16)
+            shifts = (2 * np.arange(16, dtype=np.int64))[None, None, :]
+            charpk = (
+                (cpk.astype(np.int64) << shifts).sum(axis=2).astype(np.uint32)
+            ).view(np.int32)
+            return PreparedTrie(
+                parents=None,
+                chars=None,
+                poff=jnp.asarray(
+                    off.reshape(levels, Npad).astype(np.uint16)
+                ),
+                pbase=jnp.asarray(pbase.astype(np.int32)),
+                charpk=jnp.asarray(charpk),
+                lo0=lo0,
+                hi0=hi0,
+                leaf_perm=sched.leaf_perm,
+                n=N,
+            )
     return PreparedTrie(
         parents=jnp.asarray(parents),
         chars=jnp.asarray(chars),
+        poff=None,
+        pbase=None,
+        charpk=None,
         lo0=lo0,
         hi0=hi0,
         leaf_perm=sched.leaf_perm,
@@ -332,14 +401,17 @@ def trie_search(
     schedule build entirely."""
     if prepared is None:
         prepared = prepare(keys, k, ftab)
+    packed = prepared.poff is not None
     lo, hi = _trie_device(
         arrays,
-        prepared.parents,
-        prepared.chars,
+        prepared.poff if packed else prepared.parents,
+        prepared.charpk if packed else prepared.chars,
         use_pallas=use_pallas,
         interpret=interpret,
         lo0=prepared.lo0,
         hi0=prepared.hi0,
+        pbase=prepared.pbase,
+        packed=packed,
     )
     lo = np.asarray(lo)[prepared.leaf_perm]
     hi = np.asarray(hi)[prepared.leaf_perm]

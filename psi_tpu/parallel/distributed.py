@@ -42,6 +42,19 @@ def initialize_multihost(
     )
 
 
+def put_global(x, sharding) -> jax.Array:
+    """Place host data as a GLOBAL array on a (possibly multi-process)
+    mesh: every process passes the same full-size host array and
+    contributes its addressable shards. Single-process this is a plain
+    device_put."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(
+        x.shape, sharding, lambda idx: x[idx]
+    )
+
+
 class ShardedFMArrays(NamedTuple):
     """Stacked per-shard FM arrays, padded to a common size and sharded
     on the leading (shard) axis."""
@@ -76,10 +89,10 @@ def build_sharded_index(
         sa[s, :n] = fm.sa
     sharding = NamedSharding(mesh, P(axis))
     return ShardedFMArrays(
-        occ_dense=jax.device_put(jnp.asarray(occ), sharding),
-        C=jax.device_put(jnp.asarray(C), sharding),
-        sa=jax.device_put(jnp.asarray(sa), sharding),
-        sizes=jax.device_put(jnp.asarray(sizes), sharding),
+        occ_dense=put_global(occ, sharding),
+        C=put_global(C, sharding),
+        sa=put_global(sa, sharding),
+        sizes=put_global(sizes, sharding),
         n_pad=n_pad,
     )
 
@@ -94,7 +107,7 @@ def sharded_count(
     """
     shard_map = jax.shard_map
 
-    codes_j = jnp.asarray(codes)
+    codes_j = put_global(codes, NamedSharding(mesh, P()))
 
     def kernel(occ, C, sizes, codes):
         # occ: [1, n_pad+1, 4] local shard slice
@@ -125,6 +138,21 @@ def sharded_count(
         out_specs=(P(axis), P(axis), P(axis)),
     )
     total, lo, hi = fn(arrays.occ_dense, arrays.C, arrays.sizes, codes_j)
+    if jax.process_count() > 1:
+        # totals are psum-replicated across shards: any addressable
+        # shard's copy is the global answer; lo/hi come back for the
+        # LOCAL shards only (locate stays shard-local by design)
+        def local_rows(a):
+            shards = sorted(
+                a.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            return np.concatenate([np.asarray(s.data) for s in shards])
+
+        return (
+            np.asarray(total.addressable_data(0))[0],
+            local_rows(lo),
+            local_rows(hi),
+        )
     # every shard holds the same psum'd total; take shard 0's copy
     return np.asarray(total)[0], np.asarray(lo), np.asarray(hi)
 

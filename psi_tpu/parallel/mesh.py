@@ -35,10 +35,14 @@ def device_mesh(n_devices: Optional[int] = None, axes=("data",)) -> Mesh:
 
 
 def replicate(mesh: Mesh, tree):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh (multi-process
+    safe: every process contributes its addressable replicas)."""
+    from psi_tpu.parallel.distributed import put_global
+
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        lambda x: put_global(np.asarray(x), sharding)
+        if hasattr(x, "shape") else x,
         tree,
     )
 
@@ -146,7 +150,16 @@ def sharded_trie_search(
         out_specs=P("data"),
         check_rep=False,
     )
-    lo, hi = fn(jnp.asarray(parents), jnp.asarray(chars))
+    from psi_tpu.parallel.distributed import put_global
+
+    sharding = NamedSharding(mesh, P("data"))
+    lo, hi = fn(put_global(parents, sharding), put_global(chars, sharding))
+    if jax.process_count() > 1:
+        # DCN-spanning mesh: gather every process's data-shard results
+        from jax.experimental import multihost_utils
+
+        lo = multihost_utils.process_allgather(lo, tiled=True)
+        hi = multihost_utils.process_allgather(hi, tiled=True)
     lo = np.asarray(lo).reshape(D, Npad)
     hi = np.asarray(hi).reshape(D, Npad)
     out_lo = np.empty(N, dtype=np.int32)

@@ -1,0 +1,152 @@
+"""One process of an N-process jax.distributed run (CPU backend,
+4 virtual devices per process).
+
+Drives the REAL distributed query path end-to-end over a DCN-spanning
+global mesh: component-sharded counting (psum'd gocc) and data-parallel
+trie search, verifying both against a host-side global FM oracle.
+Process 0 writes a JSON result (parity flags + wall times) to argv[4].
+
+Usage: multihost_worker.py PORT PROC_ID NPROC OUT_JSON
+
+The same script with NPROC=1 is the single-process baseline for the
+scaling-efficiency measurement: the GLOBAL device count is fixed at 8
+(8/nproc virtual devices per process), so equal total devices and
+physical cores make the 1-proc/2-proc wall-time ratio isolate the
+multi-process/DCN overhead; true weak scaling needs real extra hosts.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+TOTAL_DEVS = 8
+
+
+def main():
+    port, pid, nproc, out = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    devs_per_proc = TOTAL_DEVS // nproc
+    inherited = [
+        f for f in os.environ.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    os.environ["XLA_FLAGS"] = " ".join(
+        [f"--xla_force_host_platform_device_count={devs_per_proc}"]
+        + inherited
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from psi_tpu.parallel.distributed import initialize_multihost
+
+    if nproc > 1:
+        initialize_multihost(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    n_devices = TOTAL_DEVS
+    assert jax.device_count() == n_devices, jax.device_count()
+
+    from jax.sharding import Mesh
+
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops.fm import keys_to_codes
+    from psi_tpu.ops.fm_stream import build_stream_arrays
+    from psi_tpu.parallel.distributed import (
+        build_sharded_index, sharded_count,
+    )
+    from psi_tpu.parallel.mesh import sharded_trie_search
+
+    # deterministic inputs (identical on every process)
+    rng = np.random.RandomState(42)
+    shard_strings = [
+        ["".join(rng.choice(list("ACGT"), size=2000)) for _ in range(2)]
+        for _ in range(n_devices)
+    ]
+    fms = [
+        FMIndex.build_from_strings([s[::-1] for s in g])
+        for g in shard_strings
+    ]
+    all_strings = [s for g in shard_strings for s in g]
+    fm_all = FMIndex.build_from_strings([s[::-1] for s in all_strings])
+
+    k = 12
+    n_queries = 4096
+    kmers = []
+    for _ in range(n_queries):
+        s = all_strings[rng.randint(len(all_strings))]
+        st = rng.randint(0, len(s) - k + 1)
+        kmers.append(s[st: st + k])
+    lut = {c: i for i, c in enumerate("ACGT")}
+    keys = np.array(
+        [sum(lut[c] << (2 * (k - 1 - j)) for j, c in enumerate(km))
+         for km in kmers],
+        dtype=np.uint64,
+    )
+    ukeys = np.unique(keys)
+    codes = keys_to_codes(ukeys, k)
+
+    def decode(key):
+        return "".join(
+            "ACGT"[(int(key) >> (2 * (k - 1 - j))) & 3] for j in range(k)
+        )
+
+    expect = np.array([fm_all.count(decode(key)[::-1]) for key in ukeys])
+
+    devs = np.asarray(jax.devices())
+
+    # --- component-sharded counting over the global shard axis ---
+    mesh_s = Mesh(devs, ("shard",))
+    arrays = build_sharded_index(fms, mesh_s)
+    t0 = time.monotonic()
+    total, lo_loc, hi_loc = sharded_count(mesh_s, arrays, codes)
+    t_count = time.monotonic() - t0
+    count_ok = bool(np.array_equal(total, expect))
+
+    # --- data-parallel trie search over the global data axis ---
+    mesh_d = Mesh(devs, ("data",))
+    sarr = build_stream_arrays(fm_all)
+    t0 = time.monotonic()
+    lo, hi = sharded_trie_search(mesh_d, sarr, ukeys, k)
+    t_trie = time.monotonic() - t0
+    trie_ok = bool(np.array_equal((hi - lo).astype(np.int64), expect))
+
+    # steady-state timing (arrays resident, kernels compiled)
+    t0 = time.monotonic()
+    for _ in range(3):
+        sharded_count(mesh_s, arrays, codes)
+    t_count_warm = (time.monotonic() - t0) / 3
+    t0 = time.monotonic()
+    for _ in range(3):
+        sharded_trie_search(mesh_d, sarr, ukeys, k)
+    t_trie_warm = (time.monotonic() - t0) / 3
+
+    if pid == 0:
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "nproc": nproc,
+                    "devices": n_devices,
+                    "count_ok": count_ok,
+                    "trie_ok": trie_ok,
+                    "n_keys": int(len(ukeys)),
+                    "t_count": t_count,
+                    "t_trie": t_trie,
+                    "t_count_warm": t_count_warm,
+                    "t_trie_warm": t_trie_warm,
+                },
+                fh,
+            )
+    return 0 if (count_ok and trie_ok) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
