@@ -129,4 +129,83 @@ void psi_dindex_export(void* handle, int64_t* src_indptr, int64_t* dst,
 
 void psi_dindex_free(void* handle) { delete static_cast<DIndex*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Supernode-DAG reverse-topological interval DP (round 2): rows over
+// SUPERNODE pairs, each built exactly once from its children's final
+// rows — no frontier re-expansion, so insert-size horizons of
+// 10^3..10^4 bp build in one pass over the output. Intervals store the
+// between-supernode gap L (see psi_tpu/dindex.py docstring); cap at
+// dmax - 1 since D0 = 1 + tail + L + head >= 1 + L.
+//
+// Returns nullptr for cyclic inputs (caller falls back to the BFS
+// builder above). Reuses psi_dindex_nnz/export/free via a flat-row
+// DIndex2 representation behind the same handle ABI.
+// ---------------------------------------------------------------------------
+
+void* psi_dindex_super(int64_t S, const int64_t* sup_len,
+                       const int64_t* indptr, const int64_t* indices,
+                       int64_t dmax) {
+  // Kahn topological order
+  std::vector<int64_t> indeg(S, 0);
+  for (int64_t e = 0; e < indptr[S]; ++e) ++indeg[indices[e]];
+  std::vector<int64_t> order;
+  order.reserve(S);
+  for (int64_t s = 0; s < S; ++s)
+    if (indeg[s] == 0) order.push_back(s);
+  for (size_t i = 0; i < order.size(); ++i) {
+    const int64_t s = order[i];
+    for (int64_t e = indptr[s]; e < indptr[s + 1]; ++e)
+      if (--indeg[indices[e]] == 0) order.push_back(indices[e]);
+  }
+  if ((int64_t)order.size() != S) return nullptr;  // cyclic
+
+  const int64_t cap = dmax - 1;
+  struct Ent {
+    int64_t t, lo, hi;
+  };
+  auto* di = new DIndex();
+  di->n = S;
+  di->rows.resize(S);
+  // rows as flat sorted vectors (by target, then lo)
+  std::vector<std::vector<Ent>> flat(S);
+  std::vector<Ent> acc;
+  int64_t nnz = 0;
+  for (int64_t i = S - 1; i >= 0; --i) {
+    const int64_t s = order[i];
+    acc.clear();
+    for (int64_t e = indptr[s]; e < indptr[s + 1]; ++e) {
+      const int64_t t = indices[e];
+      acc.push_back({t, 0, 0});
+      const int64_t shift = sup_len[t];
+      for (const Ent& en : flat[t]) {
+        const int64_t na = en.lo + shift;
+        if (na <= cap)
+          acc.push_back({en.t, na, std::min(en.hi + shift, cap)});
+      }
+    }
+    std::sort(acc.begin(), acc.end(), [](const Ent& a, const Ent& b) {
+      return a.t != b.t ? a.t < b.t : a.lo < b.lo;
+    });
+    // interval-merge per target (integer-set semantics)
+    auto& row = flat[s];
+    row.clear();
+    for (const Ent& en : acc) {
+      if (!row.empty() && row.back().t == en.t &&
+          en.lo <= row.back().hi + 1) {
+        row.back().hi = std::max(row.back().hi, en.hi);
+      } else {
+        row.push_back(en);
+      }
+    }
+    nnz += (int64_t)row.size();
+  }
+  // hand rows to the DIndex container for the shared export ABI
+  for (int64_t s = 0; s < S; ++s) {
+    Row& r = di->rows[s];
+    for (const Ent& en : flat[s]) r[en.t].push_back({en.lo, en.hi});
+  }
+  di->nnz = nnz;
+  return di;
+}
+
 }  // extern "C"

@@ -3,22 +3,46 @@
 TPU-native re-design of the DiVerG distance index (usage per ref:
 include/psi/seed_finder.hpp:1193-1317; dindexctl tool semantics): the
 reference materialises a boolean CSR matrix over *char-order* coordinates
-(range-compressed rows) by boolean matrix powering. Equivalent compressed
-form used here: for every ordered node pair (v, u) reachable within the
-horizon, the set S(v, u) of feasible *node-hop distances*
+(range-compressed rows) by boolean matrix powering.
 
-    D0 = 1 + sum(len(w) for intermediate nodes w on a v->u walk)
+Two-level compressed form used here (round 2: scales to insert-size
+horizons dmax ~ 10^3..10^4, the reference's heaviest build step):
 
-kept as sorted disjoint intervals, capped at dmax. A locus pair then
-verifies as
+1. **Supernode contraction.** Maximal unary chains (interior nodes with
+   outdeg == 1 into indeg == 1) collapse into supernodes; within a
+   supernode reachability is pure arithmetic over bp offsets, so the
+   index never stores chain-internal pairs — the count of stored pairs
+   scales with the number of BRANCH regions in the horizon, not with
+   horizon / node length.
 
-    exists s in S(v, u):  dmin <= (len(v) - 1 - o) + s + p <= dmax
+2. **Reverse-topological interval DP.** Over the supernode DAG,
+   reach(s, t) = the set of feasible *between-supernode* gap lengths
+   L = sum(LEN(w) for supernodes w strictly between s and t on a walk),
+   kept as sorted disjoint intervals capped at dmax - 1 and computed in
+   one reverse-topological pass:
 
-which reproduces the reference's boolean probe
-distance_mat(charorder(v)+o, charorder(u)+p) exactly, while compressing
-the char-level matrix by len(v)*len(u) per pair. Queries are batched
-(vectorized interval probes); per-component construction bounds peak
-memory by the largest component (ref: seed_finder.hpp:1178-1235).
+       reach(s) = U over edges s->t of ({(t, [0,0])}
+                                        U shift(reach(t), LEN(t)))
+
+   — each supernode's row is built once from its children's final rows
+   (no frontier re-expansion, the cost that capped the round-1 builder
+   at dmax ~ 400).
+
+A locus pair (v, o) -> (u, p) then verifies as (ref probe semantics
+seed_finder.hpp:1300-1317):
+
+  * same supernode: d = (head(u) + p) - (head(v) + o); dmin <= d <= dmax
+    (covers the reference's same-node arithmetic as the special case
+    head(u) == head(v));
+  * else: exists L in reach(sup(v), sup(u)):
+        dmin <= a + 1 + tail(v) + head(u) + L <= dmax,
+    with a = (len(v) - 1 - o) + p — which reproduces the reference's
+    boolean probe distance_mat(charorder(v)+o, charorder(u)+p) exactly.
+
+Queries are batched (one searchsorted over sorted super-pair keys +
+masked interval probes). Cyclic inputs (the reference requires
+topologically-ordered graphs, psikt.cpp:252-255) fall back to the
+round-1 per-source interval BFS over NODE pairs (mode == "node").
 """
 
 from __future__ import annotations
@@ -43,14 +67,104 @@ def _merge_intervals(ivs: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
     return out
 
 
+def contract_chains(node_len, out_indptr, out_indices):
+    """Collapse maximal unary chains into supernodes.
+
+    Returns (sup [n+1] 1-based supernode id per node, head [n+1] bp
+    before the node inside its supernode, tail [n+1] bp after,
+    sup_len [S] total bp, sup_indptr/sup_indices CSR of the supernode
+    graph (deduplicated, 0-based supernode ids)).
+    """
+    n = len(node_len)
+    outdeg = np.diff(out_indptr)
+    indeg = np.bincount(out_indices, minlength=n + 1)[1:] if len(
+        out_indices
+    ) else np.zeros(n, dtype=np.int64)
+    # chain successor: v -> w iff outdeg(v) == 1 and indeg(w) == 1
+    nxt = np.zeros(n + 1, dtype=np.int64)
+    single = np.nonzero(outdeg == 1)[0]  # 0-based node ranks
+    if len(single):
+        tgt = out_indices[out_indptr[single]]
+        keep = indeg[tgt - 1] == 1
+        nxt[single[keep] + 1] = tgt[keep]
+    is_head = np.ones(n + 1, dtype=bool)
+    is_head[nxt[nxt > 0]] = False
+    is_head[0] = False
+
+    sup = np.zeros(n + 1, dtype=np.int64)
+    head = np.zeros(n + 1, dtype=np.int64)
+    tail = np.zeros(n + 1, dtype=np.int64)
+    sup_len_l: List[int] = []
+    sid = 0
+    for h in np.nonzero(is_head)[0]:
+        sid += 1
+        v = int(h)
+        acc = 0
+        chain = []
+        while v:
+            sup[v] = sid
+            head[v] = acc
+            acc += int(node_len[v - 1])
+            chain.append(v)
+            v = int(nxt[v])
+        for v in chain:
+            tail[v] = acc - head[v] - int(node_len[v - 1])
+        sup_len_l.append(acc)
+    S = sid
+    sup_len = np.asarray(sup_len_l, dtype=np.int64)
+
+    # supernode graph: the non-chain out-edges of each chain's tail node
+    edges = []
+    for v in range(1, n + 1):
+        if nxt[v]:
+            continue  # interior chain edge, contracted
+        s = sup[v] - 1
+        for e in range(out_indptr[v - 1], out_indptr[v]):
+            edges.append((s, sup[out_indices[e]] - 1))
+    sup_indptr = np.zeros(S + 1, dtype=np.int64)
+    if edges:
+        earr = np.unique(np.asarray(edges, dtype=np.int64), axis=0)
+        np.add.at(sup_indptr, earr[:, 0] + 1, 1)
+        np.cumsum(sup_indptr, out=sup_indptr)
+        sup_indices = earr[:, 1].copy()
+    else:
+        sup_indices = np.zeros(0, dtype=np.int64)
+    return sup, head, tail, sup_len, sup_indptr, sup_indices
+
+
+def _topo_order(S, indptr, indices):
+    """Kahn topological order of the supernode DAG; None when cyclic."""
+    indeg = np.bincount(indices, minlength=S) if len(indices) else np.zeros(
+        S, dtype=np.int64
+    )
+    indeg = indeg.astype(np.int64)
+    stack = list(np.nonzero(indeg == 0)[0])
+    order = []
+    while stack:
+        s = stack.pop()
+        order.append(s)
+        for e in range(indptr[s], indptr[s + 1]):
+            t = indices[e]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(int(t))
+    if len(order) != S:
+        return None
+    return order
+
+
 class DistanceIndex:
     """Interval-compressed pairwise distance sets with batched probes."""
 
     def __init__(self, dmin: int, dmax: int):
         self.dmin = dmin
         self.dmax = dmax
-        # CSR-ish storage: for each source node v (1-based), arrays of
-        # (u, lo, hi) rows; built via finalize().
+        self.mode = "super"  # or "node" (cyclic-graph fallback)
+        # super mode: node -> supernode maps + super-pair interval CSR
+        self.sup = np.zeros(1, dtype=np.int64)
+        self.head = np.zeros(1, dtype=np.int64)
+        self.tail = np.zeros(1, dtype=np.int64)
+        # CSR rows (per supernode in super mode; per node in node mode)
         self.src_indptr: np.ndarray = np.zeros(1, dtype=np.int64)
         self.dst: np.ndarray = np.zeros(0, dtype=np.int64)
         self.iv_lo: np.ndarray = np.zeros(0, dtype=np.int64)
@@ -66,10 +180,10 @@ class DistanceIndex:
     def build(
         graph: Graph, dmin: int, dmax: int, per_component: bool = True
     ) -> "DistanceIndex":
-        """Bounded-horizon interval DP, per component
-        (NOTE mirrors ref: graph assumed sorted with disjoint per-component
-        rank ranges, one reference path per component). Uses the native
-        OpenMP builder (native/psi_dindex.cpp) when available."""
+        """Supernode-DAG reverse-topological DP (native builder when
+        available); falls back to the per-source interval BFS over node
+        pairs for cyclic inputs (the reference requires topological
+        order, ref: psikt.cpp:252-255)."""
         idx = DistanceIndex(dmin, dmax)
         if dmin == 0 or (dmax != 0 and dmax < dmin):
             return idx  # not constructible (ref: seed_finder.hpp:1198)
@@ -78,6 +192,70 @@ class DistanceIndex:
         idx.dmax = dmax
         n = graph.node_count
         idx.n_nodes = n
+        node_len = np.diff(graph.label_offsets)
+
+        sup, head, tail, sup_len, s_indptr, s_indices = contract_chains(
+            node_len, graph.out_indptr, graph.out_indices
+        )
+        S = len(sup_len)
+        order = _topo_order(S, s_indptr, s_indices)
+        if order is None or (n and (sup[1:] == 0).any()):
+            # cyclic supernode DAG, or a pure chain cycle (no head node
+            # to anchor contraction): round-1 BFS fallback
+            return DistanceIndex._build_bfs(idx, graph, dmax, per_component)
+        idx.sup, idx.head, idx.tail = sup, head, tail
+
+        from psi_tpu import native
+
+        res = native.dindex_super_build(
+            sup_len, s_indptr, s_indices, dmax
+        )
+        if res is not None:
+            idx.src_indptr, idx.dst, idx.iv_lo, idx.iv_hi = res
+            return idx
+
+        # Python mirror of the reverse-topological DP
+        cap = dmax - 1  # D0 = 1 + tail + L + head >= 1 + L
+        rows: List[List[Tuple[int, int, int]] | None] = [None] * S
+        for s in reversed(order):
+            acc: Dict[int, List[Tuple[int, int]]] = {}
+            for e in range(s_indptr[s], s_indptr[s + 1]):
+                t = int(s_indices[e])
+                acc.setdefault(t, []).append((0, 0))
+                shift = int(sup_len[t])
+                if rows[t]:
+                    for (w, a, b) in rows[t]:
+                        na = a + shift
+                        if na <= cap:
+                            acc.setdefault(w, []).append(
+                                (na, min(b + shift, cap))
+                            )
+            rows[s] = [
+                (t, a, b)
+                for t in sorted(acc)
+                for (a, b) in _merge_intervals(acc[t])
+            ]
+        indptr = [0]
+        dst, lo_l, hi_l = [], [], []
+        for s in range(S):
+            for (t, a, b) in rows[s] or []:
+                dst.append(t)
+                lo_l.append(a)
+                hi_l.append(b)
+            indptr.append(len(dst))
+        idx.src_indptr = np.asarray(indptr, dtype=np.int64)
+        idx.dst = np.asarray(dst, dtype=np.int64)
+        idx.iv_lo = np.asarray(lo_l, dtype=np.int64)
+        idx.iv_hi = np.asarray(hi_l, dtype=np.int64)
+        return idx
+
+    @staticmethod
+    def _build_bfs(
+        idx: "DistanceIndex", graph: Graph, dmax: int, per_component: bool
+    ) -> "DistanceIndex":
+        """Round-1 fallback: per-source interval BFS over NODE pairs
+        (handles cyclic inputs; native OpenMP builder when available)."""
+        idx.mode = "node"
 
         from psi_tpu import native
 
@@ -152,6 +330,31 @@ class DistanceIndex:
     # --- queries ------------------------------------------------------------
     def verify(self, graph: Graph, v: int, o: int, u: int, p: int) -> bool:
         """Single-pair verification (ref: seed_finder.hpp:1300-1317)."""
+        if self.mode == "node" or (self.empty and v == u):
+            return self._verify_node(graph, v, o, u, p)
+        if self.empty:
+            return False
+        if self.sup[v] == self.sup[u]:
+            d = (self.head[u] + p) - (self.head[v] + o)
+            return self.dmin <= d <= self.dmax
+        a = (graph.node_length(v) - 1 - o) + p
+        base = 1 + int(self.tail[v]) + int(self.head[u])
+        l_lo, l_hi = self.dmin - a - base, self.dmax - a - base
+        if l_hi < 0:
+            return False
+        sv, su = int(self.sup[v]) - 1, int(self.sup[u]) - 1
+        r0, r1 = self.src_indptr[sv], self.src_indptr[sv + 1]
+        for i in range(r0, r1):
+            if (
+                self.dst[i] == su
+                and self.iv_lo[i] <= l_hi
+                and self.iv_hi[i] >= l_lo
+            ):
+                return True
+        return False
+
+    def _verify_node(self, graph: Graph, v, o, u, p) -> bool:
+        """node-pair (cyclic fallback) probe — round-1 semantics."""
         if v == u:  # intra-node arithmetic
             if o > p:
                 return False
@@ -171,14 +374,16 @@ class DistanceIndex:
     def _pair_keys(self) -> np.ndarray:
         """Globally sorted (source, dst) row keys: sources are grouped
         ascending by construction and dst is sorted within each source
-        segment (both builders), so v*(n+2)+dst is globally sorted —
-        one searchsorted localizes any (v, u) pair's interval rows."""
+        segment, so src*(R+2)+dst is globally sorted — one searchsorted
+        localizes any pair's interval rows."""
         if getattr(self, "_pk", None) is None or len(self._pk) != len(self.dst):
+            nrows = len(self.src_indptr) - 1
             src = np.repeat(
-                np.arange(len(self.src_indptr) - 1, dtype=np.int64) + 1,
+                np.arange(nrows, dtype=np.int64),
                 np.diff(self.src_indptr),
             )
-            self._pk = src * np.int64(self.n_nodes + 2) + self.dst
+            self._pk_base = np.int64(nrows + 2)
+            self._pk = src * self._pk_base + self.dst
             self._pk_maxmult = (
                 int(np.bincount(
                     np.unique(self._pk, return_inverse=True)[1]
@@ -192,36 +397,57 @@ class DistanceIndex:
     ) -> np.ndarray:
         """Vectorized pair verification for large batches (alice-dstats
         style pair checking, ref: tools/src/alice.cpp:599-737): one
-        searchsorted over the sorted (source, dst) keys per batch, then
-        a fixed small number of masked interval probes (max interval
-        multiplicity per pair), no per-row Python."""
+        searchsorted over the sorted pair keys per batch, then a fixed
+        small number of masked interval probes — no per-row Python."""
         v = np.asarray(v, dtype=np.int64)
         o = np.asarray(o, dtype=np.int64)
         u = np.asarray(u, dtype=np.int64)
         p = np.asarray(p, dtype=np.int64)
         out = np.zeros(len(v), dtype=bool)
-        same = v == u
-        d = p - o
-        out[same] = (o[same] <= p[same]) & (self.dmin <= d[same]) & (d[same] <= self.dmax)
-        if self.empty:
-            return out
         node_len = np.diff(graph.label_offsets)
-        rest = np.nonzero(~same)[0]
+
+        if self.mode == "node" or self.empty:
+            same = v == u
+            d = p - o
+            out[same] = (
+                (o[same] <= p[same])
+                & (self.dmin <= d[same]) & (d[same] <= self.dmax)
+            )
+            if self.empty:
+                return out
+            rest = np.nonzero(~same)[0]
+            a = (node_len[v[rest] - 1] - 1 - o[rest]) + p[rest]
+            s_lo = self.dmin - a
+            s_hi = self.dmax - a
+            q_src = v[rest] - 1
+            q_dst = u[rest]
+            ok_q = s_hi >= 1
+        else:
+            same = self.sup[v] == self.sup[u]
+            d = (self.head[u[same]] + p[same]) - (self.head[v[same]] + o[same])
+            out[same] = (self.dmin <= d) & (d <= self.dmax)
+            rest = np.nonzero(~same)[0]
+            if len(rest) == 0:
+                return out
+            a = (node_len[v[rest] - 1] - 1 - o[rest]) + p[rest]
+            base = 1 + self.tail[v[rest]] + self.head[u[rest]]
+            s_lo = self.dmin - a - base
+            s_hi = self.dmax - a - base
+            q_src = self.sup[v[rest]] - 1
+            q_dst = self.sup[u[rest]] - 1
+            ok_q = s_hi >= 0
+
         if len(rest) == 0:
             return out
-        a = (node_len[v[rest] - 1] - 1 - o[rest]) + p[rest]
-        s_lo = self.dmin - a
-        s_hi = self.dmax - a
         pk = self._pair_keys()
-        q = v[rest] * np.int64(self.n_nodes + 2) + u[rest]
+        q = q_src * self._pk_base + q_dst
         row0 = np.searchsorted(pk, q, side="left")
         row1 = np.searchsorted(pk, q, side="right")
         hit = np.zeros(len(rest), dtype=bool)
-        ok_q = s_hi >= 1
         for t in range(self._pk_maxmult):
             r = row0 + t
             live = ok_q & (r < row1)
-            rc = np.minimum(r, len(self.dst) - 1)
+            rc = np.minimum(r, max(len(self.dst) - 1, 0))
             hit |= live & (self.iv_lo[rc] <= s_hi) & (self.iv_hi[rc] >= s_lo)
         out[rest] = hit
         return out
@@ -233,6 +459,10 @@ class DistanceIndex:
             dmin=np.int64(self.dmin),
             dmax=np.int64(self.dmax),
             n_nodes=np.int64(self.n_nodes),
+            mode=np.str_(self.mode),
+            sup=self.sup,
+            head=self.head,
+            tail=self.tail,
             src_indptr=self.src_indptr,
             dst=self.dst,
             iv_lo=self.iv_lo,
@@ -244,6 +474,11 @@ class DistanceIndex:
         z = np.load(path)
         idx = DistanceIndex(int(z["dmin"]), int(z["dmax"]))
         idx.n_nodes = int(z["n_nodes"])
+        idx.mode = str(z["mode"]) if "mode" in z else "node"
+        if "sup" in z:
+            idx.sup = z["sup"]
+            idx.head = z["head"]
+            idx.tail = z["tail"]
         idx.src_indptr = z["src_indptr"]
         idx.dst = z["dst"]
         idx.iv_lo = z["iv_lo"]
@@ -256,34 +491,42 @@ class DistanceIndex:
             "dmin": self.dmin,
             "dmax": self.dmax,
             "n_nodes": self.n_nodes,
+            "mode": self.mode,
             "n_rows": int(len(self.src_indptr) - 1),
             "n_intervals": int(len(self.dst)),
         }
 
     def merge(self, other: "DistanceIndex") -> "DistanceIndex":
-        """Merge two indexes over different (dmin, dmax) ranges
-        (dindexctl merge parity, ref: tools/src/dindexctl.cpp:115-216).
-        Valid when the union of [dmin, dmax] ranges is contiguous."""
+        """Merge two indexes over different (dmin, dmax) ranges built
+        from the SAME graph (dindexctl merge parity,
+        ref: tools/src/dindexctl.cpp:115-216). Valid when the union of
+        [dmin, dmax] ranges is contiguous."""
+        assert self.mode == other.mode, "mixed-mode dindex merge"
         lo = min(self.dmin, other.dmin)
         hi = max(self.dmax, other.dmax)
         merged = DistanceIndex(lo, hi)
+        merged.mode = self.mode
         merged.n_nodes = max(self.n_nodes, other.n_nodes)
+        merged.sup, merged.head, merged.tail = self.sup, self.head, self.tail
+        if len(other.sup) > len(merged.sup):
+            merged.sup, merged.head, merged.tail = (
+                other.sup, other.head, other.tail
+            )
+        nrows = max(len(self.src_indptr), len(other.src_indptr)) - 1
         rows: Dict[int, Dict[int, List[Tuple[int, int]]]] = {}
         for src in (self, other):
-            for v in range(1, merged.n_nodes + 1):
-                if v >= len(src.src_indptr):
-                    continue
-                r0, r1 = src.src_indptr[v - 1], src.src_indptr[v]
+            for r in range(len(src.src_indptr) - 1):
+                r0, r1 = src.src_indptr[r], src.src_indptr[r + 1]
                 for i in range(r0, r1):
-                    rows.setdefault(v, {}).setdefault(
+                    rows.setdefault(r, {}).setdefault(
                         int(src.dst[i]), []
                     ).append((int(src.iv_lo[i]), int(src.iv_hi[i])))
         indptr = [0]
         dst, lo_l, hi_l = [], [], []
-        for v in range(1, merged.n_nodes + 1):
-            for u in sorted(rows.get(v, {})):
-                for a, b in _merge_intervals(rows[v][u]):
-                    dst.append(u)
+        for r in range(nrows):
+            for t in sorted(rows.get(r, {})):
+                for a, b in _merge_intervals(rows[r][t]):
+                    dst.append(t)
                     lo_l.append(a)
                     hi_l.append(b)
             indptr.append(len(dst))

@@ -71,6 +71,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.psi_dindex_export.restype = None
         lib.psi_dindex_free.argtypes = [ctypes.c_void_p]
         lib.psi_dindex_free.restype = None
+        lib.psi_dindex_super.argtypes = [
+            ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64
+        ]
+        lib.psi_dindex_super.restype = ctypes.c_void_p
         lib.psi_uncovered_build.argtypes = [
             ctypes.c_int64, i64p, i64p, i64p,
             ctypes.c_int64, i64p, i64p,
@@ -181,6 +185,34 @@ def dindex_build(node_len, out_indptr, out_indices, dmax: int):
     try:
         nnz = lib.psi_dindex_nnz(handle)
         src_indptr = np.empty(n + 1, dtype=np.int64)
+        dst = np.empty(nnz, dtype=np.int64)
+        lo = np.empty(nnz, dtype=np.int64)
+        hi = np.empty(nnz, dtype=np.int64)
+        lib.psi_dindex_export(handle, src_indptr, dst, lo, hi)
+    finally:
+        lib.psi_dindex_free(handle)
+    return src_indptr, dst, lo, hi
+
+
+def dindex_super_build(sup_len, sup_indptr, sup_indices, dmax: int):
+    """Native supernode-DAG distance DP; returns (src_indptr, dst, lo,
+    hi) over supernode pairs, or None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_dindex_super"):
+        return None
+    S = len(sup_len)
+    handle = lib.psi_dindex_super(
+        S,
+        np.ascontiguousarray(sup_len, dtype=np.int64),
+        np.ascontiguousarray(sup_indptr, dtype=np.int64),
+        np.ascontiguousarray(sup_indices, dtype=np.int64),
+        dmax,
+    )
+    if not handle:
+        return None  # cyclic (caller falls back to the BFS builder)
+    try:
+        nnz = lib.psi_dindex_nnz(handle)
+        src_indptr = np.empty(S + 1, dtype=np.int64)
         dst = np.empty(nnz, dtype=np.int64)
         lo = np.empty(nnz, dtype=np.int64)
         hi = np.empty(nnz, dtype=np.int64)

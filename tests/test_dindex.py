@@ -1,0 +1,118 @@
+"""Distance-index builders: supernode-DAG DP vs interval-BFS oracle.
+
+The round-2 builder (contract unary chains, reverse-topological
+interval DP over the supernode DAG; psi_tpu/dindex.py) must reproduce
+the round-1 per-source interval BFS verdicts exactly — on random DAGs,
+through save/load, with and without the native builder.
+"""
+
+import numpy as np
+import pytest
+
+from psi_tpu.dindex import DistanceIndex, contract_chains
+from psi_tpu.graph import Graph
+
+
+def _random_dag(rng, n):
+    nodes = {
+        i + 1: "".join(rng.choice(list("ACGT"), size=rng.randint(1, 12)))
+        for i in range(n)
+    }
+    edges = []
+    for v in range(1, n):
+        for _ in range(rng.randint(1, 3)):
+            edges.append((v, int(rng.randint(v + 1, n + 1))))
+    return Graph.from_parts(nodes=nodes, edges=edges, paths=[("ref", [1])])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_super_dp_matches_bfs_oracle(seed):
+    rng = np.random.RandomState(seed)
+    n = int(rng.randint(20, 120))
+    g = _random_dag(rng, n)
+    dmin, dmax = int(rng.randint(1, 20)), int(rng.randint(20, 120))
+
+    new = DistanceIndex.build(g, dmin, dmax)
+    assert new.mode == "super"
+    oracle = DistanceIndex(dmin, dmax)
+    oracle.n_nodes = g.node_count
+    oracle.mode = "node"
+    DistanceIndex._build_py(oracle, g, dmax, False)
+
+    M = 2000
+    ids = np.arange(1, n + 1)
+    v = ids[rng.randint(0, n, M)]
+    u = ids[rng.randint(0, n, M)]
+    nl = np.diff(g.label_offsets)
+    o = (rng.rand(M) * nl[v - 1]).astype(np.int64)
+    p = (rng.rand(M) * nl[u - 1]).astype(np.int64)
+    got = new.verify_batch(g, v, o, u, p)
+    expect = oracle.verify_batch(g, v, o, u, p)
+    np.testing.assert_array_equal(got, expect)
+    for i in rng.choice(M, 40):
+        assert new.verify(
+            g, int(v[i]), int(o[i]), int(u[i]), int(p[i])
+        ) == bool(got[i])
+
+
+def test_super_dp_python_mirror(monkeypatch):
+    """The pure-Python DP (native disabled) matches the native rows."""
+    rng = np.random.RandomState(9)
+    g = _random_dag(rng, 60)
+    native_idx = DistanceIndex.build(g, 5, 80)
+
+    import psi_tpu.native as nat
+
+    monkeypatch.setattr(nat, "dindex_super_build", lambda *a, **k: None)
+    py_idx = DistanceIndex.build(g, 5, 80)
+    assert py_idx.mode == native_idx.mode == "super"
+    np.testing.assert_array_equal(py_idx.src_indptr, native_idx.src_indptr)
+    np.testing.assert_array_equal(py_idx.dst, native_idx.dst)
+    np.testing.assert_array_equal(py_idx.iv_lo, native_idx.iv_lo)
+    np.testing.assert_array_equal(py_idx.iv_hi, native_idx.iv_hi)
+
+
+def test_cyclic_falls_back_to_node_mode():
+    nodes = {1: "ACGT", 2: "GG", 3: "TTT"}
+    edges = [(1, 2), (2, 3), (3, 1)]  # cycle
+    g = Graph.from_parts(nodes=nodes, edges=edges, paths=[("ref", [1])])
+    di = DistanceIndex.build(g, 2, 30)
+    assert di.mode == "node"
+    # 1 -> 2: D0 = 1 + 0 (adjacent); distance (4-1-o) + 1 + p
+    assert di.verify(g, 1, 0, 2, 0)
+    # around the cycle 2 -> 1: 1 + len(3) = 4; a = (2-1-0) + 0 = 1
+    assert di.verify(g, 2, 0, 1, 0)
+
+
+def test_save_load_roundtrip_super(tmp_path):
+    rng = np.random.RandomState(2)
+    g = _random_dag(rng, 50)
+    di = DistanceIndex.build(g, 3, 60)
+    path = str(tmp_path / "d.npz")
+    di.save(path)
+    back = DistanceIndex.load(path)
+    assert back.mode == "super"
+    M = 500
+    ids = np.arange(1, 51)
+    v = ids[rng.randint(0, 50, M)]
+    u = ids[rng.randint(0, 50, M)]
+    o = np.zeros(M, dtype=np.int64)
+    p = np.zeros(M, dtype=np.int64)
+    np.testing.assert_array_equal(
+        di.verify_batch(g, v, o, u, p), back.verify_batch(g, v, o, u, p)
+    )
+
+
+def test_contract_chains_shapes():
+    # pure chain contracts to one supernode
+    nodes = {1: "AA", 2: "C", 3: "GGG"}
+    edges = [(1, 2), (2, 3)]
+    g = Graph.from_parts(nodes=nodes, edges=edges, paths=[("ref", [1])])
+    sup, head, tail, sup_len, ip, ix = contract_chains(
+        np.diff(g.label_offsets), g.out_indptr, g.out_indices
+    )
+    assert len(sup_len) == 1 and sup_len[0] == 6
+    assert list(sup[1:]) == [1, 1, 1]
+    assert list(head[1:]) == [0, 2, 3]
+    assert list(tail[1:]) == [4, 3, 0]
+    assert len(ix) == 0
