@@ -67,7 +67,12 @@ class Graph:
         in_indptr: np.ndarray,
         in_indices: np.ndarray,
         paths: List[Tuple[str, np.ndarray]],
+        rc_base: int = 0,
     ):
+        #: bidirected inputs are normalized by reverse-complement node
+        #: doubling at ingest (io/bidir.py): coordinate ids >= rc_base
+        #: are reverse-strand twins of (id - rc_base). 0 = forward-only.
+        self.rc_base = rc_base
         self.coord_ids = coord_ids          # rank-1 -> coordinate id
         self.labels = labels                # concatenated node labels, uint8 ASCII
         self.label_offsets = label_offsets  # [n+1] char-order prefix sums
@@ -119,6 +124,20 @@ class Graph:
 
     def has_node(self, node_id: int) -> bool:
         return 1 <= node_id <= self.node_count
+
+    # --- strand helpers (node-doubled bidirected inputs) ---------------------
+    def strand_of(self, node_id: int) -> str:
+        """'+' or '-' for a node of a doubled bidirected graph."""
+        if self.rc_base and self.coordinate_id(node_id) >= self.rc_base:
+            return "-"
+        return "+"
+
+    def forward_coordinate(self, node_id: int) -> int:
+        """Original (pre-doubling) coordinate id of a node."""
+        c = self.coordinate_id(node_id)
+        if self.rc_base and c >= self.rc_base:
+            return c - self.rc_base
+        return c
 
     # --- labels -------------------------------------------------------------
     def node_length(self, node_id: int) -> int:
@@ -229,6 +248,7 @@ class Graph:
                 if self.paths
                 else np.zeros(0, dtype=np.int64)
             ),
+            rc_base=np.int64(self.rc_base),
         )
 
     @staticmethod
@@ -243,6 +263,7 @@ class Graph:
             z["coord_ids"], z["labels"], z["label_offsets"],
             z["out_indptr"], z["out_indices"],
             z["in_indptr"], z["in_indices"], paths,
+            rc_base=int(z["rc_base"]) if "rc_base" in z else 0,
         )
 
     # --- construction -------------------------------------------------------
@@ -251,6 +272,7 @@ class Graph:
         nodes: Dict[int, str],
         edges: Iterable[Tuple[int, int]],
         paths: Sequence[Tuple[str, Sequence[int]]] = (),
+        rc_base: int = 0,
     ) -> "Graph":
         """Build from {coord_id: sequence}, [(from_coord, to_coord)] in file
         order, and [(name, [coord ids])]."""
@@ -309,6 +331,7 @@ class Graph:
             in_indptr,
             in_indices,
             gpaths,
+            rc_base=rc_base,
         )
 
 

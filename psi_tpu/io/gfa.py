@@ -8,8 +8,11 @@ GFA 1:  ``S <id> <seq>``, ``L <from> <fo> <to> <to_o> <overlap>``,
 GFA 2:  ``S <id> <len> <seq>``, ``E <eid> <from±> <to±> ...``,
         ``O <name> <ref list>``
 
-Only forward orientations are supported (psikt requires topologically
-sorted forward graphs; ref: src/psikt.cpp:252-255).
+Reverse orientations (inversions) are normalized at ingest by
+reverse-complement node doubling (io/bidir.py): the engine itself is
+forward-only, like the reference's matchers (GUM accepts the
+orientations, psi never reverse-complements; ref: vg/vg.proto:36-47,
+src/psikt.cpp:239-255).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 from psi_tpu.graph import Graph
+from psi_tpu.io.bidir import double_bidirected
 
 
 def _parse_oriented(ref: str) -> Tuple[int, str]:
@@ -28,8 +32,8 @@ def _parse_oriented(ref: str) -> Tuple[int, str]:
 
 def load_gfa(path: str) -> Graph:
     nodes: Dict[int, str] = {}
-    edges: List[Tuple[int, int]] = []
-    paths: List[Tuple[str, List[int]]] = []
+    oedges: List[Tuple[int, str, int, str]] = []
+    opaths: List[Tuple[str, List[Tuple[int, str]]]] = []
 
     with open(path, "r") as fh:
         for line in fh:
@@ -49,20 +53,17 @@ def load_gfa(path: str) -> Graph:
             elif tag == "L":
                 f, fo = _parse_oriented(fields[1] + fields[2])
                 t, to = _parse_oriented(fields[3] + fields[4])
-                if fo != "+" or to != "+":
-                    raise ValueError("only forward-orientation edges supported")
-                edges.append((f, t))
+                oedges.append((f, fo, t, to))
             elif tag == "E":
                 f, fo = _parse_oriented(fields[2])
                 t, to = _parse_oriented(fields[3])
-                if fo != "+" or to != "+":
-                    raise ValueError("only forward-orientation edges supported")
-                edges.append((f, t))
+                oedges.append((f, fo, t, to))
             elif tag == "P":
-                segs = [_parse_oriented(s)[0] for s in fields[2].split(",")]
-                paths.append((fields[1], segs))
+                segs = [_parse_oriented(s) for s in fields[2].split(",")]
+                opaths.append((fields[1], segs))
             elif tag == "O":
-                segs = [_parse_oriented(s)[0] for s in fields[2].split(" ")]
-                paths.append((fields[1], segs))
+                segs = [_parse_oriented(s) for s in fields[2].split(" ")]
+                opaths.append((fields[1], segs))
 
-    return Graph.from_parts(nodes, edges, paths)
+    nodes, edges, paths, rc_base = double_bidirected(nodes, oedges, opaths)
+    return Graph.from_parts(nodes, edges, paths, rc_base=rc_base)

@@ -107,26 +107,30 @@ def _decode_edge(msg: memoryview) -> Tuple[int, int, bool, bool]:
     return f, t, from_start, to_end
 
 
-def _decode_position_node(msg: memoryview) -> int:
+def _decode_position_node(msg: memoryview) -> Tuple[int, bool]:
+    nid, is_rev = 0, False
     for field, _, val in _iter_fields(msg):
         if field == 1:
-            return val
-    return 0
+            nid = val
+        elif field == 4:  # Position.is_reverse (ref: vg/vg.proto:29-34)
+            is_rev = bool(val)
+    return nid, is_rev
 
 
-def _decode_mapping(msg: memoryview) -> Tuple[int, int]:
-    node_id, rank = 0, 0
+def _decode_mapping(msg: memoryview) -> Tuple[int, int, str]:
+    node_id, rank, orient = 0, 0, "+"
     for field, _, val in _iter_fields(msg):
         if field == 1:
-            node_id = _decode_position_node(val)
+            node_id, is_rev = _decode_position_node(val)
+            orient = "-" if is_rev else "+"
         elif field == 5:
             rank = val
-    return node_id, rank
+    return node_id, rank, orient
 
 
-def _decode_path(msg: memoryview) -> Tuple[str, List[Tuple[int, int]]]:
+def _decode_path(msg: memoryview) -> Tuple[str, List[Tuple[int, int, str]]]:
     name = ""
-    mappings: List[Tuple[int, int]] = []
+    mappings: List[Tuple[int, int, str]] = []
     for field, _, val in _iter_fields(msg):
         if field == 1:
             name = bytes(val).decode("utf-8")
@@ -162,8 +166,8 @@ def load_vg(path: str) -> Graph:
     (chunk merge mirrors gum::util::merge_vg usage,
     ref: test/src/test_seedfinder.cpp:36-44)."""
     nodes: Dict[int, str] = {}
-    edges: List[Tuple[int, int]] = []
-    path_maps: Dict[str, List[Tuple[int, int]]] = {}
+    oedges: List[Tuple[int, str, int, str]] = []
+    path_maps: Dict[str, List[Tuple[int, int, str]]] = {}
     path_order: List[str] = []
 
     for chunk in iter_vg_messages(path):
@@ -174,9 +178,13 @@ def load_vg(path: str) -> Graph:
                     nodes[nid] = seq
             elif field == 2:  # edge
                 f, t, from_start, to_end = _decode_edge(val)
-                if from_start or to_end:
-                    raise ValueError("only forward-orientation edges supported")
-                edges.append((f, t))
+                # from_start: the edge leaves the reverse strand of f;
+                # to_end: it enters the reverse strand of t
+                # (ref: vg/vg.proto:36-47; normalized by node doubling)
+                oedges.append(
+                    (f, "-" if from_start else "+",
+                     t, "-" if to_end else "+")
+                )
             elif field == 3:  # path
                 name, mappings = _decode_path(val)
                 if name not in path_maps:
@@ -184,15 +192,18 @@ def load_vg(path: str) -> Graph:
                     path_order.append(name)
                 path_maps[name].extend(mappings)
 
-    paths: List[Tuple[str, List[int]]] = []
+    opaths: List[Tuple[str, List[Tuple[int, str]]]] = []
     for name in path_order:
         mappings = path_maps[name]
         # order mappings by 1-based rank when present, else keep stream order
-        if any(r for _, r in mappings):
+        if any(r for _, r, _ in mappings):
             mappings = sorted(mappings, key=lambda m: m[1])
-        paths.append((name, [nid for nid, _ in mappings]))
+        opaths.append((name, [(nid, o) for nid, _, o in mappings]))
 
-    return Graph.from_parts(nodes, edges, paths)
+    from psi_tpu.io.bidir import double_bidirected
+
+    nodes, edges, paths, rc_base = double_bidirected(nodes, oedges, opaths)
+    return Graph.from_parts(nodes, edges, paths, rc_base=rc_base)
 
 
 # --- vg writing (used by pindexctl-style tools) -----------------------------
