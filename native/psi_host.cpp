@@ -156,6 +156,61 @@ void psi_sais(const uint8_t* text, int64_t n, int64_t* sa) {
   std::memcpy(sa, sa_tmp.data() + 1, sizeof(int64_t) * n);
 }
 
+// Parallel sharded suffix array for sentinel-separated string sets.
+//
+// Shards must end at a sentinel (code 0), so every suffix terminates
+// inside its own shard and shard SAs build independently (OpenMP).
+// Tie-order among suffixes equal up to their first sentinel is
+// semantically irrelevant for the FM index (patterns never contain the
+// sentinel; see psi_tpu/fmindex.py), so the k-way merge uses the
+// stop-at-first-sentinel comparator with shard-index tie-break — a
+// valid total refinement mixed with the within-shard SA-IS order.
+// Memory peak is bounded by the LARGEST shard's SA-IS workspace plus
+// the global int64 SA (vs whole-text workspace for the single build) —
+// the genome-scale construction path (the reference leans on sdsl's
+// external-memory build for the same reason, ref:
+// include/psi/fmindex.hpp:214-228).
+void psi_sais(const uint8_t* text, int64_t n, int64_t* sa);
+
+void psi_sais_sharded(const uint8_t* text, int64_t n,
+                      const int64_t* shard_off, int64_t nshards,
+                      int64_t* sa) {
+  // per-shard SAs written directly into the global buffer, offset later
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t s = 0; s < nshards; ++s) {
+    const int64_t a = shard_off[s], b = shard_off[s + 1];
+    psi_sais(text + a, b - a, sa + a);
+    for (int64_t i = a; i < b; ++i) sa[i] += a;
+  }
+  if (nshards <= 1) return;
+
+  // k-way merge with the sentinel-terminated comparator
+  std::vector<int64_t> head(nshards);
+  for (int64_t s = 0; s < nshards; ++s) head[s] = shard_off[s];
+  std::vector<int64_t> out(n);
+  // returns true if suffix at position p (shard sp) < suffix at q (sq)
+  auto less = [&](int64_t p, int64_t sp, int64_t q, int64_t sq) {
+    for (;;) {
+      const uint8_t cp = text[p], cq = text[q];
+      if (cp != cq) return cp < cq;
+      if (cp == 0) return sp < sq;  // simultaneous sentinel: shard order
+      ++p;
+      ++q;
+    }
+  };
+  for (int64_t o = 0; o < n; ++o) {
+    int64_t best = -1;
+    for (int64_t s = 0; s < nshards; ++s) {
+      if (head[s] >= shard_off[s + 1]) continue;
+      if (best < 0 ||
+          less(sa[head[s]], s, sa[head[best]], best))
+        best = s;
+    }
+    out[o] = sa[head[best]++];
+  }
+  std::memcpy(sa, out.data(), sizeof(int64_t) * n);
+}
+
 // Occ checkpoints in one pass: occ[(b+1)*sigma + c] = #(bwt[0:min((b+1)*B, n)] == c)
 // for b in [0, nblocks); occ row 0 is zeros. occ: int64[(nblocks+1)*sigma].
 void psi_occ_checkpoints(const uint8_t* bwt, int64_t n, int64_t block,

@@ -144,11 +144,35 @@ class FMIndex:
             sigma=sigma,
         )
 
+    #: texts above this size build their SA sharded at string
+    #: boundaries (parallel per-shard SA-IS + sentinel-terminated k-way
+    #: merge; native/psi_host.cpp psi_sais_sharded)
+    SHARDED_SA_MIN = int(2 ** 26)
+
     @staticmethod
     def build_from_codes(codes, str_starts, lengths, codemap=None,
                          sigma=SIGMA) -> "FMIndex":
         n = len(codes)
-        sa = suffix_array(codes)
+        sa = None
+        if n >= FMIndex.SHARDED_SA_MIN and len(lengths) > 1:
+            from psi_tpu import native
+
+            import multiprocessing
+
+            t = max(2, min(8, multiprocessing.cpu_count()))
+            # shard boundaries at string starts, ~equal text per shard
+            targets = np.linspace(0, n, t + 1)[1:-1]
+            cuts = np.unique(
+                str_starts[
+                    np.searchsorted(str_starts, targets, side="left")
+                ]
+            )
+            off = np.concatenate(([0], cuts, [n])).astype(np.int64)
+            off = np.unique(off)
+            if len(off) > 2:
+                sa = native.sais_sharded(codes, off)
+        if sa is None:
+            sa = suffix_array(codes)
         if n:
             from psi_tpu import native
 

@@ -251,20 +251,50 @@ def write_vg(path: str, messages: List[bytes]) -> None:
         fh.write(bytes(body))
 
 
+def encode_vg_path_mappings(mappings) -> bytes:
+    """Serialize a vg::Path message from
+    [(node_id, offset, rank, [(from_len, to_len, seq)])] rows
+    (the convert() output shape, ref: path_interface.hpp:842-942)."""
+    pmsg = bytearray()
+    for nid, off, rank, edits in mappings:
+        pos = bytearray()
+        _write_field(pos, 1, 0, nid)
+        if off:
+            _write_field(pos, 2, 0, off)
+        mapping = bytearray()
+        _write_field(mapping, 1, 2, bytes(pos))
+        for from_len, to_len, seq in edits:
+            edit = bytearray()
+            if from_len:
+                _write_field(edit, 1, 0, from_len)
+            if to_len:
+                _write_field(edit, 2, 0, to_len)
+            if seq:
+                _write_field(edit, 3, 2, seq.encode("ascii"))
+            _write_field(mapping, 2, 2, bytes(edit))
+        _write_field(mapping, 5, 0, rank)
+        _write_field(pmsg, 2, 2, bytes(mapping))
+    return bytes(pmsg)
+
+
 def encode_vg_alignment(
     name: str,
     sequence: str,
     path_nodes: List[Tuple[int, int]] = (),
     score: int = 0,
     identity: float = 0.0,
+    mappings=None,
 ) -> bytes:
     """Serialize one vg::Alignment (GAM record): name, sequence, and a
-    Path of (node_id, offset) mappings."""
+    Path of (node_id, offset) mappings — or full mappings-with-edits
+    rows via `mappings` (convert() shape)."""
     import struct as _struct
 
     out = bytearray()
     _write_field(out, 1, 2, sequence.encode("ascii"))
-    if path_nodes:
+    if mappings is not None:
+        _write_field(out, 2, 2, encode_vg_path_mappings(mappings))
+    elif path_nodes:
         pmsg = bytearray()
         for rank, (nid, off) in enumerate(path_nodes, start=1):
             pos = bytearray()

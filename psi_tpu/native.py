@@ -48,6 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.psi_sais.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.psi_sais.restype = None
+        lib.psi_sais_sharded.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p
+        ]
+        lib.psi_sais_sharded.restype = None
         lib.psi_bwt_from_sa.argtypes = [u8p, i64p, ctypes.c_int64, u8p]
         lib.psi_bwt_from_sa.restype = None
         lib.psi_occ_checkpoints.argtypes = [
@@ -141,6 +145,22 @@ def sais(text_codes: np.ndarray) -> Optional[np.ndarray]:
     n = len(text)
     sa = np.empty(n, dtype=np.int64)
     lib.psi_sais(text, n, sa)
+    return sa
+
+
+def sais_sharded(
+    text_codes: np.ndarray, shard_off: np.ndarray
+) -> Optional[np.ndarray]:
+    """Parallel sharded SA (shards must end at a sentinel); None when
+    the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text_codes, dtype=np.uint8)
+    shard_off = np.ascontiguousarray(shard_off, dtype=np.int64)
+    n = len(text)
+    sa = np.empty(n, dtype=np.int64)
+    lib.psi_sais_sharded(text, n, shard_off, len(shard_off) - 1, sa)
     return sa
 
 

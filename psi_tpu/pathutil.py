@@ -479,3 +479,78 @@ class MicroPath:
 
     def clear(self):
         self.nodes_set.clear()
+
+
+# --- psi::Path -> vg::Path conversion (ref: path_interface.hpp:842-942) -----
+
+
+def convert_path(graph, path, loci=None):
+    """Convert a Path to vg::Path mappings, optionally splitting each
+    node's match edit at the starting loci with 1-bp "S" edits (exact
+    mirror of ref: include/psi/path_interface.hpp:842-942, used by
+    pindexctl's GAM export, tools/src/pindexctl.cpp:100-131).
+
+    Returns [(coord_node_id, offset, rank, [(from_len, to_len, seq)])].
+    `loci` must be sorted by (node rank, offset) — the order
+    SeedFinder.get_starting_loci() produces. Quirks preserved: with
+    loci, the FIRST node's edit run spans to the full node length (no
+    head-trim of label_len), a SINGLE-node path ignores the tail trim,
+    and on the LAST node only loci at offsets <= the start offset are
+    marked (ref's asymmetric lower/upper bounds).
+    """
+    from bisect import bisect_left, bisect_right
+
+    nodes = path.get_nodes()
+    mappings = []
+    if loci is None:
+        for i, nid in enumerate(nodes):
+            noff = 0
+            if i == 0:
+                label_len = path.get_seqlen_head()
+                noff = path.get_head_offset()
+            elif i == len(nodes) - 1:
+                label_len = path.get_seqlen_tail()
+            else:
+                label_len = graph.node_length(nid)
+            mappings.append(
+                (graph.coordinate_id(nid), noff, i + 1,
+                 [(label_len, label_len, "")])
+            )
+        return mappings
+
+    keys = [
+        (graph.id_to_rank(l.node_id()), l.offset()) for l in loci
+    ]
+    for i, nid in enumerate(nodes):
+        label_len = graph.node_length(nid)
+        coffset = 0
+        if i == 0:
+            coffset = path.get_head_offset()
+        elif i == len(nodes) - 1:
+            label_len = path.get_seqlen_tail()
+        rank = graph.id_to_rank(nid)
+        if i == len(nodes) - 1:
+            nextedit = bisect_left(keys, (rank, -1))
+            lastedit = bisect_right(keys, (rank, coffset))
+        else:
+            nextedit = bisect_left(keys, (rank, coffset))
+            lastedit = bisect_right(keys, (rank, float("inf")))
+        toffset = keys[nextedit][1] if nextedit != lastedit else label_len
+        edits = []
+        while True:
+            if coffset > toffset:
+                nextedit += 1
+                toffset = (
+                    keys[nextedit][1] if nextedit != lastedit else label_len
+                )
+            if coffset == toffset:
+                edits.append((1, 1, "S"))
+                coffset += 1
+            else:
+                edits.append((toffset - coffset, toffset - coffset, ""))
+                coffset = toffset
+            if coffset >= label_len:
+                break
+        start_off = path.get_head_offset() if i == 0 else 0
+        mappings.append((graph.coordinate_id(nid), start_off, i + 1, edits))
+    return mappings

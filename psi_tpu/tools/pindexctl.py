@@ -40,6 +40,16 @@ def main(argv=None) -> int:
     gam.add_argument("graph")
     gam.add_argument("-I", "--path-index", required=True)
     gam.add_argument("-o", "--output", required=True)
+    gam.add_argument(
+        "-l", "--seed-length", type=int, default=0,
+        help="load starting loci for this seed length and mark them",
+    )
+    gam.add_argument("-e", "--step-size", type=int, default=1)
+    gam.add_argument(
+        "-L", "--no-loci", action="store_true",
+        help="do not include starting loci as SNP edits "
+        "(ref: pindexctl.cpp:49)",
+    )
 
     args = p.parse_args(argv)
 
@@ -113,21 +123,32 @@ def main(argv=None) -> int:
 
     if args.cmd == "to-gam":
         from psi_tpu.io.vgio import encode_vg_alignment, write_gam
+        from psi_tpu.pathutil import convert_path
 
-        finder = SeedFinder(graph, 1)
-        finder.pindex.set_context(0)
-        if not finder.pindex.load(args.path_index):
-            print("error: cannot load path index", file=sys.stderr)
-            return 1
+        with_loci = bool(args.seed_length) and not args.no_loci
+        finder = SeedFinder(graph, args.seed_length or 1)
+        if with_loci:
+            if not finder.load_path_index(
+                args.path_index, step_size=args.step_size
+            ):
+                print("error: cannot load path index", file=sys.stderr)
+                return 1
+            loci = finder.get_starting_loci()
+        else:
+            finder.pindex.set_context(0)
+            if not finder.pindex.load(args.path_index):
+                print("error: cannot load path index", file=sys.stderr)
+                return 1
+            loci = None
         records = []
         for i, path in enumerate(finder.pindex.get_paths_set()):
-            mappings = [
-                (graph.coordinate_id(nid),
-                 path.get_head_offset() if j == 0 else 0)
-                for j, nid in enumerate(path.get_nodes())
-            ]
+            # convert with per-locus "S" edits (ref: pindexctl.cpp:100-131
+            # over path_interface.hpp:842-942)
+            mappings = convert_path(graph, path, loci)
             records.append(
-                encode_vg_alignment(f"path{i}", sequence(path), mappings)
+                encode_vg_alignment(
+                    f"path{i}", sequence(path), mappings=mappings
+                )
             )
         write_gam(args.output, records)
         print(f"wrote {len(records)} path alignments", file=sys.stderr)

@@ -12,6 +12,10 @@ import pathlib
 # tunnel) and a sitecustomize imports jax before this file runs, so the
 # env var alone is not enough — update the live jax config too.
 # Correctness tests must not round-trip the network per dispatch.
+# stash the ambient platform for the tunnel-gated TPU smoke test
+os.environ.setdefault(
+    "PSI_AMBIENT_JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", "")
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:

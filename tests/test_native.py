@@ -66,6 +66,51 @@ def test_fastx_stream_native_path(data_dir):
     assert n3 == []
 
 
+def test_sais_sharded_fm_parity():
+    """Parallel sharded SA: sentinel-tie order may differ from the
+    whole-text SA-IS, but the FM index built on it must answer every
+    query identically (the tie order is semantically irrelevant —
+    patterns never contain the sentinel)."""
+    from psi_tpu.fmindex import BLOCK, CODE, FMIndex
+
+    rng = np.random.RandomState(4)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(200, 1500)))
+        for _ in range(12)
+    ]
+    parts, starts, lengths = [], [0], []
+    for s in strings:
+        c = CODE[np.frombuffer(s.encode(), np.uint8)]
+        parts += [c, np.zeros(1, np.uint8)]
+        lengths.append(len(c))
+        starts.append(starts[-1] + len(c) + 1)
+    codes = np.concatenate(parts)
+    off = np.asarray([0, starts[4], starts[9], len(codes)], dtype=np.int64)
+    sa = native.sais_sharded(codes, off)
+    # valid permutation of all suffix positions
+    np.testing.assert_array_equal(np.sort(sa), np.arange(len(codes)))
+    bwt = native.bwt_from_sa(codes, sa)
+    occ = native.occ_checkpoints(bwt, BLOCK, 6)
+    counts = np.bincount(codes, minlength=6).astype(np.int64)
+    C = np.zeros(7, dtype=np.int64)
+    np.cumsum(counts, out=C[1:])
+    fm2 = FMIndex(codes, sa, bwt, C, occ, np.asarray(starts),
+                  np.asarray(lengths))
+    fm1 = FMIndex.build_from_codes(
+        codes, np.asarray(starts), np.asarray(lengths)
+    )
+    for _ in range(200):
+        s = strings[rng.randint(len(strings))]
+        i = rng.randint(0, len(s) - 12)
+        pat = s[i: i + 12]
+        assert fm1.count(pat) == fm2.count(pat)
+        occ1 = sorted(zip(*map(list, fm1.text_pos_to_string(
+            fm1.locate(*fm1.backward_search(pat))))))
+        occ2 = sorted(zip(*map(list, fm2.text_pos_to_string(
+            fm2.locate(*fm2.backward_search(pat))))))
+        assert occ1 == occ2
+
+
 @pytest.mark.parametrize("seed,k", [(0, 4), (1, 9), (2, 20), (3, 31)])
 def test_trie_schedule_matches_numpy(seed, k):
     """Native pattern-order counting builder vs the NumPy argsort

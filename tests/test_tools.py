@@ -76,6 +76,83 @@ def test_pindexctl_inspect(tiny_path, tmp_path, capsys):
     assert "uncovered loci: 8" in out
 
 
+def test_pindexctl_to_gam_loci_edits(tiny_path, tmp_path):
+    """GAM export marks starting loci as 1-bp "S" edits inside each
+    mapping (ref: pindexctl.cpp:100-131 over
+    path_interface.hpp:842-942); match-run lengths reconstruct the
+    label spans exactly."""
+    import gzip
+
+    from psi_tpu.io import load_gfa, vgio
+    from psi_tpu.seed_finder import SeedFinder
+
+    graph = load_gfa(tiny_path)
+    finder = SeedFinder(graph, 12)
+    finder.create_path_index(4, True, 12)
+    prefix = str(tmp_path / "pidx")
+    assert finder.serialize_path_index(prefix)
+    loci = {(l.node_id(), l.offset()) for l in finder.get_starting_loci()}
+    assert loci  # tiny k=12 n=4 has 8 uncovered loci
+
+    out = str(tmp_path / "paths.gam")
+    rc = pindexctl.main(
+        ["to-gam", tiny_path, "-I", prefix, "-o", out, "-l", "12"]
+    )
+    assert rc == 0
+
+    # decode the GAM stream and collect S-edit loci
+    with gzip.open(out, "rb") as fh:
+        data = memoryview(fh.read())
+    pos = 0
+    s_loci = set()
+    count, pos = vgio._read_varint(data, pos)
+    for i in range(count):
+        size, pos = vgio._read_varint(data, pos)
+        msg = data[pos: pos + size]
+        pos += size
+        if bytes(msg) == b"GAM":
+            continue
+        for f, _, val in vgio._iter_fields(msg):
+            if f != 2:  # Alignment.path
+                continue
+            for f2, _, mp in vgio._iter_fields(val):
+                if f2 != 2:  # Path.mapping
+                    continue
+                nid = off0 = 0
+                cursor = None
+                for f3, _, v3 in vgio._iter_fields(mp):
+                    if f3 == 1:  # position
+                        nid, _rev = vgio._decode_position_node(v3)
+                        for f4, _, v4 in vgio._iter_fields(v3):
+                            if f4 == 2:
+                                off0 = v4
+                        cursor = off0
+                    elif f3 == 2:  # edit
+                        from_len, seq = 0, b""
+                        for f4, _, v4 in vgio._iter_fields(v3):
+                            if f4 == 1:
+                                from_len = v4
+                            elif f4 == 3:
+                                seq = bytes(v4)
+                        if seq == b"S":
+                            s_loci.add((nid, cursor))
+                        cursor += from_len
+    # every marked locus is a real starting locus
+    internal = {
+        (graph.id_by_coordinate(c), o) for c, o in s_loci
+    }
+    assert internal and internal <= loci
+
+    # --no-loci: no S edits at all
+    out2 = str(tmp_path / "plain.gam")
+    rc = pindexctl.main(
+        ["to-gam", tiny_path, "-I", prefix, "-o", out2, "-l", "12", "-L"]
+    )
+    assert rc == 0
+    with gzip.open(out2, "rb") as fh:
+        assert b"S" not in fh.read()[20:]  # no S edit payloads
+
+
 def test_loci_stats_and_sloci(tiny_path, tmp_path, capsys):
     from psi_tpu.io import load_gfa
     from psi_tpu.seed_finder import SeedFinder
