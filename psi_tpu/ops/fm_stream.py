@@ -57,7 +57,12 @@ SBLOCK = 32        # text positions per stream checkpoint block
 WB = 128           # blocks per window (one vreg of payloadT lanes)
 SPAN = SBLOCK * WB  # text positions per window
 QROWS = 8
-SLABS = 8
+# slabs per grid step: larger steps amortize Mosaic's fixed per-step
+# cost (~30 us measured on v5e) at the price of VMEM for the out block
+# ((1, SLABS, 4, 8, 128) int32 = SLABS * 16 KB); 8..64 all correct
+import os as _os
+
+SLABS = int(_os.environ.get("PSI_SLABS", "8"))
 SLAB_Q = QROWS * WB          # 1024 contiguous queries per slab
 QTILE = SLABS * SLAB_Q       # 8192 queries per grid step
 PAYLOAD_ROWS = 16  # 6 occ + 3 plane words + pad
@@ -68,6 +73,16 @@ class StreamArrays(NamedTuple):
     C: jax.Array         # int32 [SIGMA+1]
     n: int               # text length (static)
     nblocks: int         # real blocks incl. the position-n spare
+    #: windowed dense layout [NW, 8, WB] (occ(ACGT) rows 0..3, plane
+    #: rows 4..6, pad) for the VMEM-RESIDENT kernels: payloads that fit
+    #: the budget are DMA'd whole in ONE descriptor per kernel call —
+    #: per-window DMA descriptor issue (~2 us of scalar-core time each)
+    #: is what dominates the windowed kernels on dense sorted batches
+    payload8: jax.Array | None = None
+
+
+#: resident-payload VMEM budget (bytes): texts up to ~10 Mbp qualify
+RESIDENT_BUDGET = int(_os.environ.get("PSI_RESIDENT_BUDGET", 10 << 20))
 
 
 def build_stream_arrays(fm: FMIndex) -> StreamArrays:
@@ -92,11 +107,21 @@ def build_stream_arrays(fm: FMIndex) -> StreamArrays:
             axis=1, dtype=np.uint32
         )
         payload[6 + p, :] = words.view(np.int32)
+    nw = nbpad // WB
+    payload8 = None
+    if nw * 8 * WB * 4 <= RESIDENT_BUDGET:
+        rows = payload[[1, 2, 3, 4, 6, 7, 8, 0]]  # occ ACGT, planes, pad
+        payload8 = jnp.asarray(
+            np.ascontiguousarray(
+                rows.reshape(8, nw, WB).transpose(1, 0, 2)
+            )
+        )
     return StreamArrays(
         payloadT=jnp.asarray(payload),
         C=jnp.asarray(fm.C.astype(np.int32)),
         n=n,
         nblocks=nblocks,
+        payload8=payload8,
     )
 
 
@@ -367,16 +392,175 @@ def _rank4_kernel(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
         jax.lax.fori_loop(0, nw, slab_pass, 0)
 
 
-def rank4_stream(
-    arrays: StreamArrays, pos: jax.Array, interpret: bool = False
-) -> jax.Array:
-    """ranks for all 4 symbols at MONOTONE positions pos [M]
-    (M a multiple of QTILE). Returns int32 [T, SLABS, 4, QROWS, WB]."""
+def _rank4_kernel_flat(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
+                       winring, sems, prefix):
+    """rank4 with a GLOBALLY flat window-prefetch pipeline.
+
+    The per-slab ring (`_rank4_kernel`) drains at every slab boundary,
+    exposing ~2 us of DMA latency per window visit — which IS the pass
+    time for dense sorted batches (~2 windows/slab). Here window visits
+    are numbered globally across ALL slabs of ALL grid steps (their
+    payload addresses are fully determined by the scalar-prefetch
+    wlo/nw tables), and one RING-deep pipeline spans slab and grid-step
+    boundaries: visit g waits slot g%RING, computes, then starts visit
+    g+RING — wherever that lands. Scratch persists across grid steps,
+    so after the t==0 prologue the ring never drains."""
+    neg1 = jnp.int32(-1)
+    t = pl.program_id(0)
+    nslabs_total = prefix.shape[0] - 1
+
+    def slab_of(g):
+        # largest s with prefix[s] <= g (binary search over SMEM)
+        def step(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi + 1) // 2
+            go = prefix[mid] <= g
+            return (jnp.where(go, mid, lo), jnp.where(go, hi, mid - 1))
+
+        bits = max((nslabs_total).bit_length(), 1)
+        lo, _ = jax.lax.fori_loop(
+            0, bits, step, (jnp.int32(0), jnp.int32(nslabs_total - 1))
+        )
+        return lo
+
+    def start_visit(g):
+        s = slab_of(g)
+        w = wlo_ref[s] + (g - prefix[s])
+        slot = jax.lax.rem(g, RING)
+        pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(w * WB, WB)],
+            winring.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(t == 0)
+    def _():
+        def scan_body(i, acc):
+            prefix[i] = acc
+            return acc + nw_ref[i]
+
+        total0 = jax.lax.fori_loop(0, nslabs_total, scan_body, jnp.int32(0))
+        prefix[nslabs_total] = total0
+
+        def prologue(g, _):
+            @pl.when(g < total0)
+            def _():
+                start_visit(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, RING, prologue, 0)
+
+    total = prefix[nslabs_total]
+    for s in range(SLABS):
+        poss = pos_ref[0, s]
+        blk = poss // SBLOCK
+        lane_slab = t * SLABS + s
+        base = wlo_ref[lane_slab]
+        gs = prefix[lane_slab]
+
+        def visit(j, _):
+            g = gs + j
+            w = base + j
+            slot = jax.lax.rem(g, RING)
+            pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(w * WB, WB)],
+                winring.at[slot],
+                sems.at[slot],
+            ).wait()
+
+            valid = (blk // WB) == w
+            lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+            def gcomp(row):
+                src = jnp.broadcast_to(
+                    winring[slot, pl.ds(row, 1), :], (QROWS, WB)
+                )
+                return jnp.take_along_axis(src, lbl, axis=1)
+
+            occ = [gcomp(c) for c in range(1, 5)]
+            pw = [gcomp(6 + p) for p in range(3)]
+            maskw = (1 << (poss % SBLOCK)) - 1
+            for c in range(1, 5):
+                match = jnp.full((QROWS, WB), neg1)
+                for p in range(3):
+                    match &= pw[p] if (c >> p) & 1 else ~pw[p]
+                rank = occ[c - 1] + jax.lax.population_count(match & maskw)
+                out_ref[0, s, c - 1] = jnp.where(
+                    valid, rank, out_ref[0, s, c - 1]
+                )
+
+            @pl.when(g + RING < total)
+            def _():
+                start_visit(g + RING)
+
+            return 0
+
+        for c in range(4):
+            out_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], visit, 0)
+
+
+def _rank4_kernel_res(wlo_ref, nw_ref, pos_ref, payload8_ref, out_ref,
+                      pvmem, sem, loaded):
+    """rank4 with the ENTIRE payload resident in VMEM: one DMA
+    descriptor per kernel call (issued at grid step 0, scratch persists
+    across steps), then every window access is a dynamic VMEM view —
+    no per-window DMAs at all. Usable when the 8-row payload fits the
+    VMEM budget (payload8 layout: occ ACGT rows 0..3, planes 4..6)."""
+    neg1 = jnp.int32(-1)
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        cp = pltpu.make_async_copy(payload8_ref, pvmem, sem)
+        cp.start()
+        cp.wait()
+        loaded[0] = 1
+
+    for s in range(SLABS):
+        poss = pos_ref[0, s]
+        blk = poss // SBLOCK
+        lane_slab = t * SLABS + s
+        base = wlo_ref[lane_slab]
+
+        def visit(j, _):
+            w = base + j
+            valid = (blk // WB) == w
+            lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+            def gcomp(row):
+                src = jnp.broadcast_to(
+                    pvmem[w, pl.ds(row, 1), :], (QROWS, WB)
+                )
+                return jnp.take_along_axis(src, lbl, axis=1)
+
+            occ = [gcomp(c) for c in range(4)]       # rows 0..3
+            pw = [gcomp(4 + p) for p in range(3)]    # rows 4..6
+            maskw = (1 << (poss % SBLOCK)) - 1
+            for c in range(1, 5):
+                match = jnp.full((QROWS, WB), neg1)
+                for p in range(3):
+                    match &= pw[p] if (c >> p) & 1 else ~pw[p]
+                rank = occ[c - 1] + jax.lax.population_count(match & maskw)
+                out_ref[0, s, c - 1] = jnp.where(
+                    valid, rank, out_ref[0, s, c - 1]
+                )
+
+            return 0
+
+        for c in range(4):
+            out_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], visit, 0)
+
+
+def _rank4_resident_call(arrays, pos, interpret):
     M = pos.shape[0]
     T = M // QTILE
     by_slab = pos.reshape(-1, SLAB_Q) // SPAN
     wlo = jnp.min(by_slab, axis=1).astype(jnp.int32)
     nw = (jnp.max(by_slab, axis=1) - wlo + 1).astype(jnp.int32)
+    NW = arrays.payload8.shape[0]
     blk = (1, SLABS, QROWS, WB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -389,12 +573,64 @@ def rank4_stream(
             (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((RING, PAYLOAD_ROWS, WB), jnp.int32),
-            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.VMEM((NW, 8, WB), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        _rank4_kernel,
+        _rank4_kernel_res,
+        out_shape=jax.ShapeDtypeStruct((T, SLABS, 4, QROWS, WB), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wlo, nw, pos.reshape(T, SLABS, QROWS, WB), arrays.payload8)
+
+
+def rank4_stream(
+    arrays: StreamArrays, pos: jax.Array, interpret: bool = False,
+    flat: bool | None = None,
+) -> jax.Array:
+    """ranks for all 4 symbols at MONOTONE positions pos [M]
+    (M a multiple of QTILE). Returns int32 [T, SLABS, 4, QROWS, WB].
+
+    Dispatch: payload fits the VMEM budget -> RESIDENT kernel (one DMA
+    per call; the fast path for <=10 Mbp indexes). Otherwise the
+    windowed ring kernels; flat=True uses the globally flat pipeline
+    (PSI_FLAT_RING=0 reverts to the per-slab ring)."""
+    import os
+
+    if arrays.payload8 is not None and os.environ.get(
+        "PSI_RESIDENT", "1"
+    ) not in ("", "0"):
+        return _rank4_resident_call(arrays, pos, interpret)
+    if flat is None:
+        flat = os.environ.get("PSI_FLAT_RING", "1") not in ("", "0")
+    M = pos.shape[0]
+    T = M // QTILE
+    by_slab = pos.reshape(-1, SLAB_Q) // SPAN
+    wlo = jnp.min(by_slab, axis=1).astype(jnp.int32)
+    nw = (jnp.max(by_slab, axis=1) - wlo + 1).astype(jnp.int32)
+    blk = (1, SLABS, QROWS, WB)
+    scratch = [
+        pltpu.VMEM((RING, PAYLOAD_ROWS, WB), jnp.int32),
+        pltpu.SemaphoreType.DMA((RING,)),
+    ]
+    if flat:
+        scratch.append(pltpu.SMEM((T * SLABS + 1,), jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
+        ),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        _rank4_kernel_flat if flat else _rank4_kernel,
         out_shape=jax.ShapeDtypeStruct((T, SLABS, 4, QROWS, WB), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -404,13 +640,16 @@ def rank4_stream(
 # --- compact: host-planned child gather over rank4 output ----------------
 
 
-def _compact_kernel(pwlo_ref, pnw_ref, parent_ref, char_ref,
+def _compact_kernel(pwlo_ref, pnw_ref, slabc_ref, parent_ref, char_ref,
                     r4lo_ref, r4hi_ref, C_ref,
                     outlo_ref, outhi_ref, winlo, winhi, cache, semlo, semhi):
     """Child slab: new_lo[i] = C[c_i] + r4lo[c_i - 1, parent_i] (same
     for hi). parent_i values arrive in ascending runs (c-major child
     order), so the 1024-parent window cache advances monotonically with
-    few resets."""
+    few resets. Children are c-MAJOR, so almost every slab has one
+    uniform char (slabc_ref[s] = c, or 0 for the <=3 mixed boundary
+    slabs per level): the uniform fast path gathers from the single
+    needed component (4x fewer vreg gathers than the mixed path)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -421,6 +660,7 @@ def _compact_kernel(pwlo_ref, pnw_ref, parent_ref, char_ref,
         pidx = parent_ref[0, s]              # (8, 128) parent slots
         cs = char_ref[0, s]
         lane_slab = t * SLABS + s
+        slab_c = slabc_ref[lane_slab]
 
         def slab_pass(j, _):
             w = pwlo_ref[lane_slab] + j      # parent window (1024 slots)
@@ -445,31 +685,72 @@ def _compact_kernel(pwlo_ref, pnw_ref, parent_ref, char_ref,
             lp = jnp.clip(pidx - w * SLAB_Q, 0, SLAB_Q - 1)
             row = lp // WB
             lane = lp % WB
-            plo = jnp.zeros((QROWS, WB), jnp.int32)
-            phi = jnp.zeros((QROWS, WB), jnp.int32)
-            for comp in range(4):
-                sel_c = cs == (comp + 1)
+
+            @pl.when(slab_c > 0)
+            def _():
+                comp = slab_c - 1
+                plo = jnp.zeros((QROWS, WB), jnp.int32)
+                phi = jnp.zeros((QROWS, WB), jnp.int32)
                 for r in range(QROWS):
-                    hit = sel_c & (row == r)
+                    hit = row == r
                     glo = jnp.take_along_axis(
                         jnp.broadcast_to(
-                            winlo[comp, pl.ds(r, 1), :], (QROWS, WB)
+                            winlo[pl.ds(comp, 1), pl.ds(r, 1), :]
+                            .reshape(1, WB),
+                            (QROWS, WB),
                         ),
                         lane, axis=1,
                     )
                     ghi = jnp.take_along_axis(
                         jnp.broadcast_to(
-                            winhi[comp, pl.ds(r, 1), :], (QROWS, WB)
+                            winhi[pl.ds(comp, 1), pl.ds(r, 1), :]
+                            .reshape(1, WB),
+                            (QROWS, WB),
                         ),
                         lane, axis=1,
                     )
                     plo = jnp.where(hit, glo, plo)
                     phi = jnp.where(hit, ghi, phi)
-            cadd = jnp.zeros((QROWS, WB), jnp.int32)
-            for c in range(1, 5):
-                cadd = cadd + jnp.where(cs == c, C_ref[c], 0)
-            outlo_ref[0, s] = jnp.where(valid, cadd + plo, outlo_ref[0, s])
-            outhi_ref[0, s] = jnp.where(valid, cadd + phi, outhi_ref[0, s])
+                cadd = C_ref[slab_c]
+                outlo_ref[0, s] = jnp.where(
+                    valid, cadd + plo, outlo_ref[0, s]
+                )
+                outhi_ref[0, s] = jnp.where(
+                    valid, cadd + phi, outhi_ref[0, s]
+                )
+
+            @pl.when(slab_c == 0)
+            def _():
+                plo = jnp.zeros((QROWS, WB), jnp.int32)
+                phi = jnp.zeros((QROWS, WB), jnp.int32)
+                for comp in range(4):
+                    sel_c = cs == (comp + 1)
+                    for r in range(QROWS):
+                        hit = sel_c & (row == r)
+                        glo = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                winlo[comp, pl.ds(r, 1), :], (QROWS, WB)
+                            ),
+                            lane, axis=1,
+                        )
+                        ghi = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                winhi[comp, pl.ds(r, 1), :], (QROWS, WB)
+                            ),
+                            lane, axis=1,
+                        )
+                        plo = jnp.where(hit, glo, plo)
+                        phi = jnp.where(hit, ghi, phi)
+                cadd = jnp.zeros((QROWS, WB), jnp.int32)
+                for c in range(1, 5):
+                    cadd = cadd + jnp.where(cs == c, C_ref[c], 0)
+                outlo_ref[0, s] = jnp.where(
+                    valid, cadd + plo, outlo_ref[0, s]
+                )
+                outhi_ref[0, s] = jnp.where(
+                    valid, cadd + phi, outhi_ref[0, s]
+                )
+
             return 0
 
         outlo_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
@@ -490,20 +771,26 @@ def compact_children(
     by_slab = parent_idx.reshape(-1, SLAB_Q) // SLAB_Q
     pwlo = jnp.min(by_slab, axis=1).astype(jnp.int32)
     pnw = (jnp.max(by_slab, axis=1) - pwlo + 1).astype(jnp.int32)
+    # per-slab uniform char (0 = mixed): children are c-major, so at
+    # most 3 slabs per level take the mixed path
+    c_by_slab = char.reshape(-1, SLAB_Q)
+    cmin = jnp.min(c_by_slab, axis=1)
+    cmax = jnp.max(c_by_slab, axis=1)
+    slab_c = jnp.where(cmin == cmax, cmin, 0).astype(jnp.int32)
     blk = (1, SLABS, QROWS, WB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
-            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
-            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((4, QROWS, WB), jnp.int32),
@@ -522,6 +809,6 @@ def compact_children(
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(pwlo, pnw, parent_idx.reshape(shape4), char.reshape(shape4),
-      r4lo, r4hi, C)
+    )(pwlo, pnw, slab_c, parent_idx.reshape(shape4),
+      char.reshape(shape4), r4lo, r4hi, C)
     return lo4.reshape(-1), hi4.reshape(-1)
