@@ -26,6 +26,31 @@ import time
 
 import numpy as np
 
+#: last-good TPU result, persisted in-repo so a round snapshot always
+#: carries a chip number even when the tunnel is down at snapshot time
+LAST_GOOD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "docs", "last_tpu_bench.json"
+)
+
+
+def save_last_good(result: dict) -> None:
+    try:
+        rec = dict(result)
+        rec["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(LAST_GOOD, "w") as fh:
+            json.dump(rec, fh, indent=1)
+    except OSError as exc:
+        print(f"# could not persist last-good TPU result: {exc}",
+              file=sys.stderr)
+
+
+def load_last_good() -> dict | None:
+    try:
+        with open(LAST_GOOD) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
 
 def probe_tpu(timeout_s: int = 90, attempts: int = 3) -> bool:
     """Check TPU reachability in a subprocess (the tunnel can wedge a
@@ -404,6 +429,15 @@ def main():
                         result["platform"] = "cpu (beat tpu: gather-bound kernel)"
         except Exception as exc:  # comparison is best-effort
             print(f"# cpu comparison failed: {exc}", file=sys.stderr)
+
+    if result.get("platform", "").startswith("tpu"):
+        save_last_good(result)
+    elif not os.environ.get("PSI_BENCH_CHILD"):
+        last = load_last_good()
+        if last is not None:
+            # tunnel down at snapshot time: carry the most recent real
+            # chip measurement alongside, clearly labeled with its date
+            result["last_good_tpu"] = last
 
     print(json.dumps(result))
 

@@ -74,8 +74,15 @@ def contract_chains(node_len, out_indptr, out_indices):
     before the node inside its supernode, tail [n+1] bp after,
     sup_len [S] total bp, sup_indptr/sup_indices CSR of the supernode
     graph (deduplicated, 0-based supernode ids)).
+
+    Fully vectorized (pointer doubling over the chain-predecessor map:
+    O(n log n) NumPy, no per-node Python) — at pan-genome node counts
+    the contraction otherwise dominates the native DP it feeds. Nodes
+    on pure chain CYCLES (no head to anchor them) get sup == 0, which
+    the caller detects and routes to the BFS fallback.
     """
     n = len(node_len)
+    node_len = np.asarray(node_len, dtype=np.int64)
     outdeg = np.diff(out_indptr)
     indeg = np.bincount(out_indices, minlength=n + 1)[1:] if len(
         out_indices
@@ -91,39 +98,45 @@ def contract_chains(node_len, out_indptr, out_indices):
     is_head[nxt[nxt > 0]] = False
     is_head[0] = False
 
+    # chain predecessor: par[w] = v iff nxt[v] == w (unique by indeg==1)
+    vs = np.nonzero(nxt)[0]
+    par = np.zeros(n + 1, dtype=np.int64)
+    par[nxt[vs]] = vs
+    # pointer doubling: g -> chain head (fixpoint), d -> bp before node
+    g = np.where(par > 0, par, np.arange(n + 1, dtype=np.int64))
+    d = np.where(par > 0, node_len[par - 1], 0)
+    for _ in range(max(int(n).bit_length(), 1) + 1):
+        gg = g[g]
+        if (gg == g).all():
+            break
+        d = d + d[g]
+        g = gg
     sup = np.zeros(n + 1, dtype=np.int64)
-    head = np.zeros(n + 1, dtype=np.int64)
+    heads = np.nonzero(is_head)[0]
+    head_rank = np.zeros(n + 1, dtype=np.int64)
+    head_rank[heads] = np.arange(1, len(heads) + 1)
+    anchored = is_head[g]
+    anchored[0] = False
+    sup[anchored] = head_rank[g[anchored]]
+    head = np.where(anchored, d, 0)
+    S = len(heads)
+    sup_len = np.zeros(S, dtype=np.int64)
+    mem = np.nonzero(sup)[0]
+    np.add.at(sup_len, sup[mem] - 1, node_len[mem - 1])
     tail = np.zeros(n + 1, dtype=np.int64)
-    sup_len_l: List[int] = []
-    sid = 0
-    for h in np.nonzero(is_head)[0]:
-        sid += 1
-        v = int(h)
-        acc = 0
-        chain = []
-        while v:
-            sup[v] = sid
-            head[v] = acc
-            acc += int(node_len[v - 1])
-            chain.append(v)
-            v = int(nxt[v])
-        for v in chain:
-            tail[v] = acc - head[v] - int(node_len[v - 1])
-        sup_len_l.append(acc)
-    S = sid
-    sup_len = np.asarray(sup_len_l, dtype=np.int64)
+    tail[mem] = sup_len[sup[mem] - 1] - head[mem] - node_len[mem - 1]
 
     # supernode graph: the non-chain out-edges of each chain's tail node
-    edges = []
-    for v in range(1, n + 1):
-        if nxt[v]:
-            continue  # interior chain edge, contracted
-        s = sup[v] - 1
-        for e in range(out_indptr[v - 1], out_indptr[v]):
-            edges.append((s, sup[out_indices[e]] - 1))
+    src_node = np.repeat(np.arange(1, n + 1, dtype=np.int64), outdeg)
+    em = nxt[src_node] == 0  # interior chain edges are contracted away
     sup_indptr = np.zeros(S + 1, dtype=np.int64)
-    if edges:
-        earr = np.unique(np.asarray(edges, dtype=np.int64), axis=0)
+    if em.any():
+        earr = np.unique(
+            np.stack(
+                [sup[src_node[em]] - 1, sup[out_indices[em]] - 1], axis=1
+            ),
+            axis=0,
+        )
         np.add.at(sup_indptr, earr[:, 0] + 1, 1)
         np.cumsum(sup_indptr, out=sup_indptr)
         sup_indices = earr[:, 1].copy()
@@ -343,15 +356,11 @@ class DistanceIndex:
         if l_hi < 0:
             return False
         sv, su = int(self.sup[v]) - 1, int(self.sup[u]) - 1
-        r0, r1 = self.src_indptr[sv], self.src_indptr[sv + 1]
-        for i in range(r0, r1):
-            if (
-                self.dst[i] == su
-                and self.iv_lo[i] <= l_hi
-                and self.iv_hi[i] >= l_lo
-            ):
-                return True
-        return False
+        return bool(self._probe_pairs(
+            np.asarray([sv]), np.asarray([su]),
+            np.asarray([l_lo]), np.asarray([l_hi]),
+            np.asarray([True]),
+        )[0])
 
     def _verify_node(self, graph: Graph, v, o, u, p) -> bool:
         """node-pair (cyclic fallback) probe — round-1 semantics."""
@@ -365,31 +374,57 @@ class DistanceIndex:
         s_lo, s_hi = self.dmin - a, self.dmax - a
         if s_hi < 1:
             return False
-        r0, r1 = self.src_indptr[v - 1], self.src_indptr[v]
-        for i in range(r0, r1):
-            if self.dst[i] == u and self.iv_lo[i] <= s_hi and self.iv_hi[i] >= s_lo:
-                return True
-        return False
+        return bool(self._probe_pairs(
+            np.asarray([v - 1]), np.asarray([u]),
+            np.asarray([s_lo]), np.asarray([s_hi]),
+            np.asarray([True]),
+        )[0])
 
     def _pair_keys(self) -> np.ndarray:
-        """Globally sorted (source, dst) row keys: sources are grouped
-        ascending by construction and dst is sorted within each source
-        segment, so src*(R+2)+dst is globally sorted — one searchsorted
-        localizes any pair's interval rows."""
+        """Globally sorted composite (source, dst, iv_lo) row keys:
+        sources are grouped ascending by construction, dst is sorted
+        within each source segment and intervals are sorted disjoint
+        within each (src, dst) pair, so
+        (src*(R+2) + dst)*(dmax+2) + iv_lo is globally sorted — one
+        searchsorted localizes any probe EXACTLY (see verify_batch)."""
         if getattr(self, "_pk", None) is None or len(self._pk) != len(self.dst):
             nrows = len(self.src_indptr) - 1
             src = np.repeat(
                 np.arange(nrows, dtype=np.int64),
                 np.diff(self.src_indptr),
             )
-            self._pk_base = np.int64(nrows + 2)
-            self._pk = src * self._pk_base + self.dst
-            self._pk_maxmult = (
-                int(np.bincount(
-                    np.unique(self._pk, return_inverse=True)[1]
-                ).max()) if len(self._pk) else 0
+            self._pk_ivbase = np.int64(self.dmax + 2)
+            self._pk_base = np.int64(nrows + 2) * self._pk_ivbase
+            self._pk = (
+                (src * np.int64(nrows + 2) + self.dst) * self._pk_ivbase
+                + self.iv_lo
             )
         return self._pk
+
+    def _probe_pairs(self, q_src, q_dst, s_lo, s_hi, ok_q) -> np.ndarray:
+        """Exact one-searchsorted interval probe. Within a (src, dst)
+        pair the intervals are sorted and DISJOINT, so both iv_lo and
+        iv_hi ascend; an interval intersecting [s_lo, s_hi] exists iff
+        the LAST interval with iv_lo <= s_hi has iv_hi >= s_lo. That
+        row is located by one searchsorted over the composite keys —
+        O(1) probes per query regardless of interval multiplicity
+        (replaces the old _pk_maxmult masked-pass loop, which was O(N)
+        per batch element on pathological rows)."""
+        pk = self._pair_keys()
+        if len(pk) == 0:
+            return np.zeros(len(q_src), dtype=bool)
+        nrows = len(self.src_indptr) - 1
+        pair = q_src * np.int64(nrows + 2) + q_dst
+        s_hi_c = np.minimum(s_hi, np.int64(self._pk_ivbase - 1))
+        qkey = pair * self._pk_ivbase + np.maximum(s_hi_c, 0)
+        r = np.searchsorted(pk, qkey, side="right") - 1
+        rc = np.maximum(r, 0)
+        # row must exist, belong to the queried pair, and intersect
+        pair_of_r = pk[rc] // self._pk_ivbase
+        return (
+            ok_q & (r >= 0) & (pair_of_r == pair)
+            & (self.iv_hi[rc] >= s_lo) & (self.iv_lo[rc] <= s_hi)
+        )
 
     def verify_batch(
         self, graph: Graph, v: np.ndarray, o: np.ndarray,
@@ -397,8 +432,8 @@ class DistanceIndex:
     ) -> np.ndarray:
         """Vectorized pair verification for large batches (alice-dstats
         style pair checking, ref: tools/src/alice.cpp:599-737): one
-        searchsorted over the sorted pair keys per batch, then a fixed
-        small number of masked interval probes — no per-row Python."""
+        searchsorted over composite sorted keys — no per-row Python and
+        no dependence on interval multiplicity."""
         v = np.asarray(v, dtype=np.int64)
         o = np.asarray(o, dtype=np.int64)
         u = np.asarray(u, dtype=np.int64)
@@ -439,17 +474,7 @@ class DistanceIndex:
 
         if len(rest) == 0:
             return out
-        pk = self._pair_keys()
-        q = q_src * self._pk_base + q_dst
-        row0 = np.searchsorted(pk, q, side="left")
-        row1 = np.searchsorted(pk, q, side="right")
-        hit = np.zeros(len(rest), dtype=bool)
-        for t in range(self._pk_maxmult):
-            r = row0 + t
-            live = ok_q & (r < row1)
-            rc = np.minimum(r, max(len(self.dst) - 1, 0))
-            hit |= live & (self.iv_lo[rc] <= s_hi) & (self.iv_hi[rc] >= s_lo)
-        out[rest] = hit
+        out[rest] = self._probe_pairs(q_src, q_dst, s_lo, s_hi, ok_q)
         return out
 
     # --- serialization ------------------------------------------------------
@@ -500,8 +525,15 @@ class DistanceIndex:
         """Merge two indexes over different (dmin, dmax) ranges built
         from the SAME graph (dindexctl merge parity,
         ref: tools/src/dindexctl.cpp:115-216). Valid when the union of
-        [dmin, dmax] ranges is contiguous."""
-        assert self.mode == other.mode, "mixed-mode dindex merge"
+        [dmin, dmax] ranges is contiguous. Fully vectorized: one lexsort
+        over the concatenated rows + a segmented interval union (no
+        per-row Python dicts)."""
+        if self.mode != other.mode:
+            raise ValueError(
+                f"cannot merge distance indexes of different modes "
+                f"({self.mode!r} vs {other.mode!r}): rebuild the older "
+                f"index in the newer mode first (dindexctl build)"
+            )
         lo = min(self.dmin, other.dmin)
         hi = max(self.dmax, other.dmax)
         merged = DistanceIndex(lo, hi)
@@ -513,25 +545,46 @@ class DistanceIndex:
                 other.sup, other.head, other.tail
             )
         nrows = max(len(self.src_indptr), len(other.src_indptr)) - 1
-        rows: Dict[int, Dict[int, List[Tuple[int, int]]]] = {}
-        for src in (self, other):
-            for r in range(len(src.src_indptr) - 1):
-                r0, r1 = src.src_indptr[r], src.src_indptr[r + 1]
-                for i in range(r0, r1):
-                    rows.setdefault(r, {}).setdefault(
-                        int(src.dst[i]), []
-                    ).append((int(src.iv_lo[i]), int(src.iv_hi[i])))
-        indptr = [0]
-        dst, lo_l, hi_l = [], [], []
-        for r in range(nrows):
-            for t in sorted(rows.get(r, {})):
-                for a, b in _merge_intervals(rows[r][t]):
-                    dst.append(t)
-                    lo_l.append(a)
-                    hi_l.append(b)
-            indptr.append(len(dst))
-        merged.src_indptr = np.asarray(indptr, dtype=np.int64)
-        merged.dst = np.asarray(dst, dtype=np.int64)
-        merged.iv_lo = np.asarray(lo_l, dtype=np.int64)
-        merged.iv_hi = np.asarray(hi_l, dtype=np.int64)
+
+        def row_ids(src):
+            return np.repeat(
+                np.arange(len(src.src_indptr) - 1, dtype=np.int64),
+                np.diff(src.src_indptr),
+            )
+
+        r = np.concatenate([row_ids(self), row_ids(other)])
+        d = np.concatenate([self.dst, other.dst])
+        a = np.concatenate([self.iv_lo, other.iv_lo])
+        b = np.concatenate([self.iv_hi, other.iv_hi])
+        if len(r) == 0:
+            merged.src_indptr = np.zeros(nrows + 1, dtype=np.int64)
+            merged.dst = merged.iv_lo = merged.iv_hi = np.zeros(
+                0, dtype=np.int64
+            )
+            return merged
+        order = np.lexsort((a, d, r))
+        r, d, a, b = r[order], d[order], a[order], b[order]
+        # segmented running max of iv_hi within each (row, dst) group
+        # (offset trick: BIG > any iv_hi makes the cummax reset at
+        # group boundaries)
+        grp = np.empty(len(r), dtype=bool)
+        grp[0] = True
+        grp[1:] = (r[1:] != r[:-1]) | (d[1:] != d[:-1])
+        gid = np.cumsum(grp) - 1
+        BIG = np.int64(max(int(b.max()), 0) + 2)
+        run_hi = np.maximum.accumulate(b + gid * BIG) - gid * BIG
+        # a new output interval starts where the group changes or the
+        # next lo does not touch/overlap the running hi
+        starts = grp.copy()
+        starts[1:] |= a[1:] > run_hi[:-1] + 1
+        sidx = np.nonzero(starts)[0]
+        ends = np.concatenate([sidx[1:] - 1, [len(r) - 1]])
+        merged.dst = d[sidx]
+        merged.iv_lo = a[sidx]
+        merged.iv_hi = run_hi[ends]
+        counts = np.zeros(nrows, dtype=np.int64)
+        np.add.at(counts, r[sidx], 1)
+        merged.src_indptr = np.concatenate(
+            [[0], np.cumsum(counts)]
+        ).astype(np.int64)
         return merged

@@ -128,6 +128,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.psi_pick_paths_export.restype = None
         lib.psi_pick_paths_free.argtypes = [ctypes.c_void_p]
         lib.psi_pick_paths_free.restype = None
+        if hasattr(lib, "psi_gaf_scan"):
+            lib.psi_gaf_scan.argtypes = [u8p, ctypes.c_int64]
+            lib.psi_gaf_scan.restype = ctypes.c_void_p
+            lib.psi_gaf_nrec.argtypes = [ctypes.c_void_p]
+            lib.psi_gaf_nrec.restype = ctypes.c_int64
+            lib.psi_gaf_ngroups.argtypes = [ctypes.c_void_p]
+            lib.psi_gaf_ngroups.restype = ctypes.c_int64
+            lib.psi_gaf_npathnodes.argtypes = [ctypes.c_void_p]
+            lib.psi_gaf_npathnodes.restype = ctypes.c_int64
+            lib.psi_gaf_export.argtypes = [
+                ctypes.c_void_p, i64p, i64p, i64p, i64p, i64p, i64p
+            ]
+            lib.psi_gaf_export.restype = None
+            lib.psi_gaf_free.argtypes = [ctypes.c_void_p]
+            lib.psi_gaf_free.restype = None
         _lib = lib
         return _lib
 
@@ -340,6 +355,35 @@ def trie_schedule(keys: np.ndarray, k: int, frontier_level: int = 0):
     finally:
         lib.psi_trie_free(handle)
     return tuple(parents), tuple(chars), leaf_perm, rows
+
+
+def gaf_scan(buf: bytes):
+    """One-pass GAF column scan for alice dstats. Returns (group, ord,
+    pstart, pend, path_indptr, path_coords, n_groups) int64 arrays —
+    group = pair-group id per record in first-appearance order — or
+    None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_gaf_scan"):
+        return None
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if len(data) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, np.zeros(1, dtype=np.int64), z, 0
+    handle = lib.psi_gaf_scan(data, len(data))
+    try:
+        nrec = lib.psi_gaf_nrec(handle)
+        ngroups = lib.psi_gaf_ngroups(handle)
+        npn = lib.psi_gaf_npathnodes(handle)
+        group = np.empty(nrec, dtype=np.int64)
+        ordv = np.empty(nrec, dtype=np.int64)
+        pstart = np.empty(nrec, dtype=np.int64)
+        pend = np.empty(nrec, dtype=np.int64)
+        indptr = np.empty(nrec + 1, dtype=np.int64)
+        coords = np.empty(npn, dtype=np.int64)
+        lib.psi_gaf_export(handle, group, ordv, pstart, pend, indptr, coords)
+    finally:
+        lib.psi_gaf_free(handle)
+    return group, ordv, pstart, pend, indptr, coords, int(ngroups)
 
 
 def fastq_scan(buf: bytes, max_records: int):

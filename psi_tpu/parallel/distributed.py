@@ -217,25 +217,24 @@ def sharded_locate(
     """Gather text positions per shard for the given ranges.
 
     Returns (shard_idx, query_idx, positions) flattened across shards —
-    the host-side allgather merge of per-shard hit sets."""
+    the host-side allgather merge of per-shard hit sets. Vectorized with
+    the same repeat/cumsum occurrence expansion as the on-path emission
+    (seed_finder._seeds_on_paths_impl): no per-query Python."""
     sa = np.asarray(arrays.sa)
-    shard_l, query_l, pos_l = [], [], []
-    for s in range(sa.shape[0]):
-        widths = hi[s] - lo[s]
-        sel = np.nonzero(widths > 0)[0]
-        for qi in sel:
-            p = sa[s, lo[s, qi]: hi[s, qi]]
-            shard_l.append(np.full(len(p), s, dtype=np.int64))
-            query_l.append(np.full(len(p), qi, dtype=np.int64))
-            pos_l.append(p.astype(np.int64))
-    if not pos_l:
+    S, N = lo.shape
+    widths = np.maximum(hi - lo, 0).astype(np.int64).reshape(-1)
+    total = int(widths.sum())
+    if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    return (
-        np.concatenate(shard_l),
-        np.concatenate(query_l),
-        np.concatenate(pos_l),
+    rows = np.repeat(np.arange(S * N, dtype=np.int64), widths)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(widths) - widths, widths
     )
+    shard = rows // N
+    query = rows % N
+    pos = sa[shard, lo.reshape(-1)[rows] + within].astype(np.int64)
+    return shard, query, pos
 
 
 def partition_paths_by_component(

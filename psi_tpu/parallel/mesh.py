@@ -104,8 +104,6 @@ def sharded_trie_search(
 
     Returns (lo, hi) int32 [N] in key order.
     """
-    from jax.experimental.shard_map import shard_map
-
     from psi_tpu.ops import fm_trie
     from psi_tpu.ops.fm_stream import QTILE
 
@@ -144,11 +142,11 @@ def sharded_trie_search(
             use_pallas=use_pallas, interpret=interpret,
         )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     from psi_tpu.parallel.distributed import put_global
 

@@ -792,13 +792,18 @@ class SeedFinder:
                 if nof_hits >= max_mem:
                     break
             ch = sequence[start + plen]
-            if has_hit or ch == "N":
+            c = int(fm.codemap[ord(ch)])
+            # any non-ACGT byte (N, IUPAC codes, unknown) restarts, the
+            # same normalization the batched find_mems_arrays applies —
+            # feeding code 0 (sentinel) or 5 (N) would LF into ranges
+            # the batched route never visits and break hit-multiset
+            # parity between the two MEM APIs
+            if has_hit or not (1 <= c <= 4):
                 lo, hi = 0, fm.size
                 start = start + plen + 1
                 plen = 0
                 has_hit = False
                 continue
-            c = int(fm.codemap[ord(ch)])
             nlo, nhi = fm.lf_step(c, lo, hi)
             if nlo >= nhi:
                 lo, hi = 0, fm.size
