@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="compute platform for the batched engines",
     )
     p.add_argument(
+        "--devices", default=None, metavar="N|auto",
+        help="device-mesh width for the sharded query pipeline: a "
+        "count, or 'auto' for all local devices (default: all devices "
+        "on accelerator backends, 1 on CPU; also via PSI_DEVICES)",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="resume an interrupted run from <output>.ckpt (skips already "
         "processed read chunks; requires identical arguments)",
@@ -148,7 +154,14 @@ def main(argv: Optional[list] = None) -> int:
         max_mem=args.max_mem,
         seed_mismatches=args.mismatches,
         stats=stats,
+        devices=args.devices,
     )
+    mesh = finder._get_mesh()
+    if mesh is not None:
+        log.info(
+            "Sharded query pipeline over a %d-device mesh.",
+            mesh.shape["data"],
+        )
 
     loaded = False
     if args.path_index:

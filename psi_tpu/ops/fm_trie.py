@@ -307,9 +307,17 @@ def prepare(
     keys: np.ndarray,
     k: int,
     ftab: np.ndarray | None = None,
+    npad: int | None = None,
+    to_device: bool = True,
+    pack: bool | None = None,
 ) -> PreparedTrie:
     """Host precompute for `trie_search`: schedule build + padding +
-    device transfer. Thread-safe; call from a producer thread."""
+    device transfer. Thread-safe; call from a producer thread.
+
+    `npad` forces a minimum pad width (the sharded route needs one
+    common width across shards); `to_device=False` keeps the arrays as
+    NumPy for the caller to stack/place (sharded route); `pack`
+    overrides the PSI_TRIE_PACK env choice."""
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
@@ -319,18 +327,19 @@ def prepare(
     N = len(keys)
     # power-of-two tile-multiple padding: bounds the number of compiled
     # shapes across chunks of varying distinct-key counts
-    Npad = fm_stream.QTILE
+    Npad = max(fm_stream.QTILE, npad or 0)
     while Npad < N:
         Npad *= 2
     start = 0
     lo0 = hi0 = None
+    put = jnp.asarray if to_device else np.asarray
     if sched.frontier_level:
         start = p
         ranges = ftab[sched.frontier_rows]       # pattern order
-        lo0 = jnp.asarray(_pad_level(
+        lo0 = put(_pad_level(
             ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
         ))
-        hi0 = jnp.asarray(_pad_level(
+        hi0 = put(_pad_level(
             ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
         ))
     parents = np.stack(
@@ -345,7 +354,9 @@ def prepare(
     # 2-bit char codes, unless some slab spans > uint16 parents
     import os
 
-    if os.environ.get("PSI_TRIE_PACK", "1") not in ("", "0"):
+    if pack is None:
+        pack = os.environ.get("PSI_TRIE_PACK", "1") not in ("", "0")
+    if pack:
         levels = parents.shape[0]
         pslab = parents.reshape(levels, Npad // PSLAB, PSLAB)
         pbase = pslab.min(axis=2)
@@ -359,19 +370,17 @@ def prepare(
             return PreparedTrie(
                 parents=None,
                 chars=None,
-                poff=jnp.asarray(
-                    off.reshape(levels, Npad).astype(np.uint16)
-                ),
-                pbase=jnp.asarray(pbase.astype(np.int32)),
-                charpk=jnp.asarray(charpk),
+                poff=put(off.reshape(levels, Npad).astype(np.uint16)),
+                pbase=put(pbase.astype(np.int32)),
+                charpk=put(charpk),
                 lo0=lo0,
                 hi0=hi0,
                 leaf_perm=sched.leaf_perm,
                 n=N,
             )
     return PreparedTrie(
-        parents=jnp.asarray(parents),
-        chars=jnp.asarray(chars),
+        parents=put(parents),
+        chars=put(chars),
         poff=None,
         pbase=None,
         charpk=None,

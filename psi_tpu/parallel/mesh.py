@@ -14,7 +14,7 @@ relative to HBM); stats counters merge with psum-style reductions.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,23 +89,40 @@ def make_train_step(mesh: Mesh):
     return step
 
 
-def sharded_trie_search(
+class ShardedPreparedTrie(NamedTuple):
+    """Per-device trie plans, stacked on a leading shard axis and placed
+    sharded over the mesh "data" axis (the multi-device analogue of
+    fm_trie.PreparedTrie; built on the producer thread by
+    SeedFinder.prepare_onpath when a mesh is active)."""
+
+    parents: jax.Array | None  # int32 [D, L, Npad] (plain format)
+    chars: jax.Array | None
+    poff: jax.Array | None     # uint16 [D, L, Npad] (packed format)
+    pbase: jax.Array | None
+    charpk: jax.Array | None
+    lo0: jax.Array             # int32 [D, Npad]
+    hi0: jax.Array
+    leaf_perms: Tuple[np.ndarray, ...]
+    sizes: Tuple[int, ...]
+    per: int
+    n: int
+
+
+def prepare_trie_sharded(
     mesh: Mesh,
-    stream_arrays,
     keys: np.ndarray,
     k: int,
-    use_pallas: bool = False,
-    interpret: bool = False,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Data-parallel trie-batched search (ops/fm_trie.py): sorted
-    distinct keys split into contiguous per-device chunks (each stays
-    sorted), per-shard host schedules stacked and sharded over "data",
-    index replicated; shard_map runs the frontier kernels per device.
-
-    Returns (lo, hi) int32 [N] in key order.
-    """
+    n_text: int,
+    ftab: Optional[np.ndarray] = None,
+) -> ShardedPreparedTrie:
+    """Split sorted distinct keys into contiguous per-device chunks
+    (each stays sorted/pattern-orderable), build one trie plan per
+    shard with a COMMON pad width and wire format, stack, and place
+    sharded over the mesh. Thread-safe (producer thread)."""
     from psi_tpu.ops import fm_trie
     from psi_tpu.ops.fm_stream import QTILE
+
+    from psi_tpu.parallel.distributed import put_global
 
     D = mesh.shape["data"]
     N = len(keys)
@@ -114,56 +131,208 @@ def sharded_trie_search(
     while Npad < per:
         Npad *= 2
 
-    parents = np.zeros((D, k, Npad), dtype=np.int32)
-    chars = np.ones((D, k, Npad), dtype=np.int32)
-    perms = []
-    sizes = []
-    for d in range(D):
-        chunk = keys[d * per: (d + 1) * per]
-        sizes.append(len(chunk))
-        if len(chunk) == 0:
-            perms.append(np.zeros(0, dtype=np.int64))
-            continue
-        sched = fm_trie.build_schedule(chunk, k)
-        for j in range(k):
-            parents[d, j] = fm_trie._pad_level(
-                sched.parents[j], Npad, max(int(sched.parents[j][-1]), 0)
-            )
-            chars[d, j] = fm_trie._pad_level(
-                sched.chars[j], Npad, int(sched.chars[j][-1])
-            )
-        perms.append(sched.leaf_perm)
+    def chunks():
+        for d in range(D):
+            c = keys[d * per: (d + 1) * per]
+            # empty shards (N < D) run a 1-key dummy plan; its results
+            # are discarded by sizes[d] == 0
+            yield (c if len(c) else keys[-1:]), len(c)
 
+    plans = []
+    sizes = []
+    for c, sz in chunks():
+        plans.append(
+            fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False)
+        )
+        sizes.append(sz)
+    if any(p.poff is None for p in plans) and any(
+        p.poff is not None for p in plans
+    ):
+        # mixed wire formats across shards: rebuild all plain
+        plans = [
+            fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False,
+                            pack=False)
+            for c, _ in chunks()
+        ]
+    packed = plans[0].poff is not None
+    sharding = NamedSharding(mesh, P("data"))
+
+    def stack(field):
+        return put_global(
+            np.stack([getattr(p, field) for p in plans]), sharding
+        )
+
+    if plans[0].lo0 is not None:
+        lo0 = stack("lo0")
+        hi0 = stack("hi0")
+    else:
+        lo0 = put_global(
+            np.zeros((D, Npad), dtype=np.int32), sharding
+        )
+        hi0 = put_global(
+            np.full((D, Npad), n_text, dtype=np.int32), sharding
+        )
+    return ShardedPreparedTrie(
+        parents=None if packed else stack("parents"),
+        chars=None if packed else stack("chars"),
+        poff=stack("poff") if packed else None,
+        pbase=stack("pbase") if packed else None,
+        charpk=stack("charpk") if packed else None,
+        lo0=lo0,
+        hi0=hi0,
+        leaf_perms=tuple(p.leaf_perm for p in plans),
+        sizes=tuple(sizes),
+        per=per,
+        n=N,
+    )
+
+
+def sharded_trie_search(
+    mesh: Mesh,
+    stream_arrays,
+    keys: np.ndarray,
+    k: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    ftab: Optional[np.ndarray] = None,
+    prepared: Optional[ShardedPreparedTrie] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Data-parallel trie-batched search (ops/fm_trie.py): sorted
+    distinct keys split into contiguous per-device chunks (each stays
+    sorted), per-shard host schedules (packed wire format, optionally
+    ftab-seeded) stacked and sharded over "data", index replicated;
+    shard_map runs the frontier kernels per device.
+
+    Returns (lo, hi) int32 [N] in key order. This IS the production
+    on-path route when SeedFinder runs with a multi-device mesh
+    (ref: src/psikt.cpp:183-209 chunk loop, scaled out per SURVEY §2.3).
+    """
+    from psi_tpu.ops import fm_trie
+
+    if prepared is None:
+        prepared = prepare_trie_sharded(
+            mesh, keys, k, stream_arrays.n, ftab
+        )
+    D = mesh.shape["data"]
+    N = prepared.n
+    per = prepared.per
+    packed = prepared.poff is not None
     arrays_r = replicate(mesh, stream_arrays)
 
-    def local(parents_d, chars_d):
-        return fm_trie._trie_device(
-            arrays_r, parents_d[0], chars_d[0],
-            use_pallas=use_pallas, interpret=interpret,
-        )
+    if packed:
+        args = (prepared.poff, prepared.pbase, prepared.charpk,
+                prepared.lo0, prepared.hi0)
+
+        def local(poff_d, pbase_d, charpk_d, lo0_d, hi0_d):
+            return fm_trie._trie_device(
+                arrays_r, poff_d[0], charpk_d[0],
+                use_pallas=use_pallas, interpret=interpret,
+                lo0=lo0_d[0], hi0=hi0_d[0], pbase=pbase_d[0], packed=True,
+            )
+    else:
+        args = (prepared.parents, prepared.chars,
+                prepared.lo0, prepared.hi0)
+
+        def local(parents_d, chars_d, lo0_d, hi0_d):
+            return fm_trie._trie_device(
+                arrays_r, parents_d[0], chars_d[0],
+                use_pallas=use_pallas, interpret=interpret,
+                lo0=lo0_d[0], hi0=hi0_d[0],
+            )
 
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("data"), P("data")),
+        in_specs=(P("data"),) * len(args),
         out_specs=P("data"),
         check_vma=False,
     )
-    from psi_tpu.parallel.distributed import put_global
-
-    sharding = NamedSharding(mesh, P("data"))
-    lo, hi = fn(put_global(parents, sharding), put_global(chars, sharding))
+    lo, hi = fn(*args)
     if jax.process_count() > 1:
         # DCN-spanning mesh: gather every process's data-shard results
         from jax.experimental import multihost_utils
 
         lo = multihost_utils.process_allgather(lo, tiled=True)
         hi = multihost_utils.process_allgather(hi, tiled=True)
+    Npad = np.asarray(lo).size // D
     lo = np.asarray(lo).reshape(D, Npad)
     hi = np.asarray(hi).reshape(D, Npad)
     out_lo = np.empty(N, dtype=np.int32)
     out_hi = np.empty(N, dtype=np.int32)
     for d in range(D):
-        if sizes[d]:
-            out_lo[d * per: d * per + sizes[d]] = lo[d][perms[d]]
-            out_hi[d * per: d * per + sizes[d]] = hi[d][perms[d]]
+        if prepared.sizes[d]:
+            sl = slice(d * per, d * per + prepared.sizes[d])
+            out_lo[sl] = lo[d][prepared.leaf_perms[d]]
+            out_hi[sl] = hi[d][prepared.leaf_perms[d]]
     return out_lo, out_hi
+
+
+def sharded_traverse(
+    mesh: Mesh,
+    graph_arrays,
+    seeds_arrays,
+    start_nodes: np.ndarray,
+    start_offs: np.ndarray,
+    k: int,
+    cap_local: int,
+    max_mm: int = 0,
+):
+    """Data-parallel off-path traversal: starting loci split into
+    contiguous per-device chunks; every device runs the frontier
+    traverser (ops/traverse.py) over its loci against the replicated
+    graph + seed index. The per-locus fork trees are independent, so
+    results concatenate exactly (HOT LOOP #2 scaled out,
+    ref: traverser_bfs.hpp:72-164).
+
+    Returns (locus_idx[global], lo, hi, n_used[D], overflow[D],
+    tstats[D, 3]) with per-shard arrays of width cap_local."""
+    from psi_tpu.ops import traverse as trav
+
+    from psi_tpu.parallel.distributed import put_global
+
+    D = mesh.shape["data"]
+    n = len(start_nodes)
+    per = -(-n // D)
+    per = max(per, 1)
+    sn = np.zeros((D, cap_local), dtype=np.int32)
+    so = np.zeros((D, cap_local), dtype=np.int32)
+    ni = np.zeros(D, dtype=np.int32)
+    for d in range(D):
+        c = slice(d * per, min((d + 1) * per, n))
+        m = max(c.stop - c.start, 0)
+        ni[d] = m
+        sn[d, :m] = start_nodes[c]
+        so[d, :m] = start_offs[c]
+    g_r = replicate(mesh, graph_arrays)
+    sa_r = replicate(mesh, seeds_arrays)
+    sharding = NamedSharding(mesh, P("data"))
+
+    def local(sn_d, so_d, ni_d):
+        if max_mm:
+            li, lo, hi, nu, ov = trav.traverse_device_approx(
+                g_r, sa_r, sn_d[0], so_d[0], ni_d[0], k, cap_local, max_mm
+            )
+            ts = jnp.zeros(3, dtype=jnp.int32)
+        else:
+            li, lo, hi, nu, ov, ts = trav.traverse_device(
+                g_r, sa_r, sn_d[0], so_d[0], ni_d[0], k, cap_local
+            )
+        return (li[None], lo[None], hi[None], nu[None], ov[None],
+                ts[None])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"),) * 6,
+        check_vma=False,
+    )
+    li, lo, hi, nu, ov, ts = fn(
+        put_global(sn, sharding), put_global(so, sharding),
+        put_global(ni, sharding),
+    )
+    li = np.asarray(li)
+    # locus indices are shard-local: rebase to global locus ids
+    li = li + (np.arange(D, dtype=np.int32) * per)[:, None]
+    return (
+        li, np.asarray(lo), np.asarray(hi),
+        np.asarray(nu), np.asarray(ov), np.asarray(ts),
+    )

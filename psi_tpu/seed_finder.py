@@ -37,6 +37,7 @@ class SeedFinder:
         seed_mismatches: int = 0,
         stats: Optional[SeedFinderStats] = None,
         rng_seed: int = 0,
+        devices: Optional[object] = None,
     ):
         self.graph = graph
         self.seed_len = seed_len
@@ -51,6 +52,11 @@ class SeedFinder:
         self.dindex = DistanceIndex(0, 0)
         self.d = (0, 0)
         self._rng_seed = rng_seed
+        #: device-mesh request: None = env PSI_DEVICES (default: all
+        #: devices on accelerator backends, single-device on CPU);
+        #: "auto" = all local devices; int N = first N devices
+        self._devices_req = devices
+        self._mesh = None
         # device-side caches (built lazily)
         self._fm_arrays = None
         self._graph_arrays = None
@@ -61,6 +67,42 @@ class SeedFinder:
         import threading
 
         self._prep_lock = threading.Lock()
+
+    # === device mesh (multi-chip scale-out, SURVEY §2.3) ====================
+    def _get_mesh(self):
+        """Lazy 1-D "data" mesh over the local devices. The production
+        query pipeline (on-path trie search AND off-path traversal)
+        shards over it whenever it spans > 1 device — the reference's
+        single-process chunk loop (ref: src/psikt.cpp:183-209) scaled
+        out. Selection: the `devices` ctor arg, else PSI_DEVICES
+        ("auto" or a count), else all devices on accelerator backends /
+        one on CPU (virtual CPU meshes are opt-in)."""
+        if self._mesh is False:
+            return None
+        if self._mesh is None:
+            import jax
+
+            req = self._devices_req
+            if req is None:
+                req = os.environ.get("PSI_DEVICES")
+            if req is None:
+                n = (
+                    jax.device_count()
+                    if jax.default_backend() != "cpu"
+                    else 1
+                )
+            elif str(req) == "auto":
+                n = jax.device_count()
+            else:
+                n = int(req)
+            n = max(min(n, jax.device_count()), 1)
+            if n <= 1:
+                self._mesh = False
+                return None
+            from psi_tpu.parallel.mesh import device_mesh
+
+            self._mesh = device_mesh(n)
+        return self._mesh
 
     # === path picking =======================================================
     def _set_context(self, context: int, patched: bool) -> int:
@@ -494,19 +536,21 @@ class SeedFinder:
             )
         return self._fm_arrays
 
-    @staticmethod
-    def _stream_enabled() -> bool:
+    def _stream_enabled(self) -> bool:
         """Trie-batched on-path search (ops/fm_trie.py): default ON for
-        TPU backends (measured 2.6x over the gather route on v5e);
-        PSI_STREAM=1/0 overrides. Off-TPU the XLA fallback's gathers
-        are fast on CPU but the dense-occ route still wins, so default
-        off there."""
+        TPU backends (measured 2.6x over the gather route on v5e) and
+        whenever a multi-device mesh is active (the sharded on-path
+        route runs through it); PSI_STREAM=1/0 overrides. Off-TPU the
+        XLA fallback's gathers are fast on CPU but the dense-occ route
+        still wins, so default off there single-device."""
         env = os.environ.get("PSI_STREAM")
         if env is not None:
             return env not in ("", "0")
         import jax
 
-        return jax.default_backend() not in ("cpu",)
+        if jax.default_backend() not in ("cpu",):
+            return True
+        return self._get_mesh() is not None
 
     def _get_stream_arrays(self):
         if self._stream_arrays is None:
@@ -562,7 +606,16 @@ class SeedFinder:
 
         _, _, search_keys, _ = self._onpath_search_keys(index)
         uniq, inv = np.unique(search_keys, return_inverse=True)
-        prepared = fm_trie.prepare(uniq, self.seed_len, self._get_ftab())
+        mesh = self._get_mesh()
+        if mesh is not None:
+            from psi_tpu.parallel.mesh import prepare_trie_sharded
+
+            prepared = prepare_trie_sharded(
+                mesh, uniq, self.seed_len, self.pindex.fm.size,
+                self._get_ftab(),
+            )
+        else:
+            prepared = fm_trie.prepare(uniq, self.seed_len, self._get_ftab())
         index._onpath_prep = (uniq, inv, prepared)
 
     def _search_stream(self, search_keys: np.ndarray, k: int, prep=None):
@@ -585,10 +638,23 @@ class SeedFinder:
             prepared = None
         sarr = self._get_stream_arrays()
         on_tpu = jax.default_backend() not in ("cpu",)
-        lo, hi = fm_trie.trie_search(
-            sarr, uniq, k, use_pallas=on_tpu, ftab=self._get_ftab(),
-            prepared=prepared,
-        )
+        mesh = self._get_mesh()
+        if mesh is not None:
+            from psi_tpu.parallel import mesh as mesh_mod
+
+            if prepared is not None and not isinstance(
+                prepared, mesh_mod.ShardedPreparedTrie
+            ):
+                prepared = None  # plan was built single-device; rebuild
+            lo, hi = mesh_mod.sharded_trie_search(
+                mesh, sarr, uniq, k, use_pallas=on_tpu,
+                ftab=self._get_ftab(), prepared=prepared,
+            )
+        else:
+            lo, hi = fm_trie.trie_search(
+                sarr, uniq, k, use_pallas=on_tpu, ftab=self._get_ftab(),
+                prepared=prepared,
+            )
         return lo[inv], hi[inv]
 
     def _get_map_arrays(self):
@@ -1045,6 +1111,9 @@ class SeedFinder:
         g = self._get_graph_arrays()
         sa = trav.seeds_to_device(index)
         n = len(self.starting_loci)
+        mesh = self._get_mesh()
+        if mesh is not None:
+            return self._traverse_sharded_columns(index, g, sa, mesh)
         cap = max(1 << 15, 1 << (n - 1).bit_length())
         while True:
             start_nodes = np.zeros(cap, dtype=np.int32)
@@ -1089,6 +1158,54 @@ class SeedFinder:
             np.asarray(locus_idx)[:n_used],
             np.asarray(lo)[:n_used],
             np.asarray(hi)[:n_used],
+            self.seed_len,
+        )
+
+    def _traverse_sharded_columns(self, index: SeedsIndex, g, sa, mesh):
+        """Off-path traversal data-parallel over starting loci: loci
+        split contiguously across the mesh, graph + seed index
+        replicated (per-locus fork trees are independent, so shard
+        results concatenate exactly; HOT LOOP #2 scaled out)."""
+        from psi_tpu.ops import traverse as trav
+        from psi_tpu.parallel.mesh import sharded_traverse
+
+        n = len(self.starting_loci)
+        D = mesh.shape["data"]
+        per = max(-(-n // D), 1)
+        start_nodes = np.zeros(n, dtype=np.int32)
+        start_offs = np.zeros(n, dtype=np.int32)
+        for i, l in enumerate(self.starting_loci):
+            start_nodes[i] = l.node_id()
+            start_offs[i] = l.offset()
+        cap_local = max(1 << 12, 1 << (per - 1).bit_length())
+        while True:
+            li, lo, hi, nu, ov, ts = sharded_traverse(
+                mesh, g, sa, start_nodes, start_offs,
+                self.seed_len, cap_local, max_mm=self.seed_mismatches,
+            )
+            if ov.any():
+                cap_local *= 2
+                continue
+            break
+        if not self.seed_mismatches:
+            gd = int(ts[:, 0].sum())
+            ended = int(ts[:, 1].sum())
+            ended_len = int(ts[:, 2].sum())
+            n_surv = int(nu.sum())
+            self.stats.get_this_thread_stats().add_traversal(
+                gd, ended + n_surv, ended_len + n_surv * self.seed_len
+            )
+        keep_li = np.concatenate(
+            [li[d, : nu[d]] for d in range(li.shape[0])]
+        )
+        keep_lo = np.concatenate(
+            [lo[d, : nu[d]] for d in range(lo.shape[0])]
+        )
+        keep_hi = np.concatenate(
+            [hi[d, : nu[d]] for d in range(hi.shape[0])]
+        )
+        return trav.traverse_columnar_from_states(
+            index, self.starting_loci, keep_li, keep_lo, keep_hi,
             self.seed_len,
         )
 
