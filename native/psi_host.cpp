@@ -13,9 +13,14 @@
 //
 // Build: make -C native   (produces libpsi_host.so)
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
+
+#include <fcntl.h>
+#include <unistd.h>
 
 namespace {
 
@@ -184,7 +189,10 @@ void psi_sais_sharded(const uint8_t* text, int64_t n,
   }
   if (nshards <= 1) return;
 
-  // k-way merge with the sentinel-terminated comparator
+  // k-way HEAP merge with the sentinel-terminated comparator: each
+  // output element costs O(log nshards) suffix comparisons (the round-2
+  // linear scan compared every shard head per element — O(n * nshards)
+  // comparisons, each walking shared prefixes)
   std::vector<int64_t> head(nshards);
   for (int64_t s = 0; s < nshards; ++s) head[s] = shard_off[s];
   std::vector<int64_t> out(n);
@@ -198,17 +206,133 @@ void psi_sais_sharded(const uint8_t* text, int64_t n,
       ++q;
     }
   };
+  // max-heap with inverted comparator = min-heap over shard heads
+  auto heap_cmp = [&](int64_t a, int64_t b) {
+    return less(sa[head[b]], b, sa[head[a]], a);
+  };
+  std::vector<int64_t> heap;
+  heap.reserve(nshards);
+  for (int64_t s = 0; s < nshards; ++s)
+    if (head[s] < shard_off[s + 1]) heap.push_back(s);
+  std::make_heap(heap.begin(), heap.end(), heap_cmp);
   for (int64_t o = 0; o < n; ++o) {
-    int64_t best = -1;
-    for (int64_t s = 0; s < nshards; ++s) {
-      if (head[s] >= shard_off[s + 1]) continue;
-      if (best < 0 ||
-          less(sa[head[s]], s, sa[head[best]], best))
-        best = s;
+    std::pop_heap(heap.begin(), heap.end(), heap_cmp);
+    const int64_t s = heap.back();
+    out[o] = sa[head[s]++];
+    if (head[s] < shard_off[s + 1]) {
+      std::push_heap(heap.begin(), heap.end(), heap_cmp);
+    } else {
+      heap.pop_back();
     }
-    out[o] = sa[head[best]++];
   }
   std::memcpy(sa, out.data(), sizeof(int64_t) * n);
+}
+
+// ---------------------------------------------------------------------------
+// Disk-spilled sharded SA merge — the bounded-RAM genome-scale build
+// (the reference leans on sdsl's external-memory construction for the
+// same reason, ref: include/psi/fmindex.hpp:214-228).
+//
+// Per-shard SAs live in ONE shards file, shard s's entries at byte
+// offset 8*shard_off[s] (absolute text positions). The merge consumes
+// every shard strictly sequentially through a small pread buffer and
+// streams the merged SA to out_path with buffered writes, so resident
+// memory is text + bwt + nshards*buf — independent of n. bwt[i] is
+// filled on the fly (bwt = text[(sa[i]+n-1) % n]), saving a second
+// pass over the on-disk SA. Returns 0 on success, <0 on IO error.
+// ---------------------------------------------------------------------------
+
+int64_t psi_sais_merge_disk(const uint8_t* text, int64_t n,
+                            const int64_t* shard_off, int64_t nshards,
+                            const char* shards_path, const char* out_path,
+                            uint8_t* bwt, int64_t bufelems) {
+  if (bufelems < 1024) bufelems = 1024;
+  const int fd = open(shards_path, O_RDONLY);
+  if (fd < 0) return -1;
+  FILE* fout = fopen(out_path, "wb");
+  if (!fout) {
+    close(fd);
+    return -2;
+  }
+  struct Stream {
+    int64_t next, end;  // absolute element offsets in the shards file
+    int64_t pos, len;   // window into buf
+    std::vector<int64_t> buf;
+  };
+  std::vector<Stream> st(nshards);
+  auto refill = [&](int64_t s) -> bool {
+    Stream& t = st[s];
+    const int64_t want = std::min(bufelems, t.end - t.next);
+    if (want <= 0) return false;
+    const int64_t bytes = want * (int64_t)sizeof(int64_t);
+    if (t.buf.empty()) t.buf.resize(bufelems);
+    int64_t got = 0;
+    while (got < bytes) {
+      const ssize_t r = pread(fd, (char*)t.buf.data() + got, bytes - got,
+                              t.next * (int64_t)sizeof(int64_t) + got);
+      if (r <= 0) return false;
+      got += r;
+    }
+    t.pos = 0;
+    t.len = want;
+    t.next += want;
+    return true;
+  };
+  for (int64_t s = 0; s < nshards; ++s) {
+    st[s].next = shard_off[s];
+    st[s].end = shard_off[s + 1];
+    st[s].pos = st[s].len = 0;
+  }
+  auto cur = [&](int64_t s) { return st[s].buf[st[s].pos]; };
+  auto less = [&](int64_t p, int64_t sp, int64_t q, int64_t sq) {
+    for (;;) {
+      const uint8_t cp = text[p], cq = text[q];
+      if (cp != cq) return cp < cq;
+      if (cp == 0) return sp < sq;
+      ++p;
+      ++q;
+    }
+  };
+  auto heap_cmp = [&](int64_t a, int64_t b) {
+    return less(cur(b), b, cur(a), a);
+  };
+  std::vector<int64_t> heap;
+  for (int64_t s = 0; s < nshards; ++s)
+    if (refill(s)) heap.push_back(s);
+  std::make_heap(heap.begin(), heap.end(), heap_cmp);
+  std::vector<int64_t> obuf(bufelems);
+  int64_t opos = 0, written = 0;
+  auto flush = [&]() -> bool {
+    if (opos &&
+        fwrite(obuf.data(), sizeof(int64_t), opos, fout) != (size_t)opos)
+      return false;
+    opos = 0;
+    return true;
+  };
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), heap_cmp);
+    const int64_t s = heap.back();
+    const int64_t v = cur(s);
+    obuf[opos++] = v;
+    bwt[written++] = text[v == 0 ? n - 1 : v - 1];
+    if (opos == bufelems && !flush()) {
+      fclose(fout);
+      close(fd);
+      return -3;
+    }
+    Stream& t = st[s];
+    ++t.pos;
+    if (t.pos == t.len && !refill(s)) {
+      heap.pop_back();
+    } else {
+      std::push_heap(heap.begin(), heap.end(), heap_cmp);
+    }
+  }
+  const bool ok = flush();
+  fclose(fout);
+  close(fd);
+  if (!ok) return -3;
+  return written == n ? 0 : -4;
 }
 
 // Occ checkpoints in one pass: occ[(b+1)*sigma + c] = #(bwt[0:min((b+1)*B, n)] == c)

@@ -21,6 +21,7 @@ tie-order among equal sentinels, so a single '$' code is used.
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -146,40 +147,67 @@ class FMIndex:
 
     #: texts above this size build their SA sharded at string
     #: boundaries (parallel per-shard SA-IS + sentinel-terminated k-way
-    #: merge; native/psi_host.cpp psi_sais_sharded)
+    #: heap merge; native/psi_host.cpp psi_sais_sharded)
     SHARDED_SA_MIN = int(2 ** 26)
+    #: texts above this size (or with PSI_SA_DISK=1) use the
+    #: BOUNDED-RAM build: per-shard SAs spill to disk, the merge streams
+    #: the final SA to a file consumed as a memmap, and the BWT is
+    #: extracted during the merge — peak RSS is text + bwt + the
+    #: in-flight shards' workspace, independent of total size (the
+    #: reference's external-memory sdsl build,
+    #: ref: include/psi/fmindex.hpp:214-228)
+    SA_DISK_MIN = int(float(os.environ.get("PSI_SA_DISK_MIN", 6e8)))
+
+    @staticmethod
+    def _shard_cuts(str_starts, n, t):
+        """~equal-size shard boundaries snapped to string starts."""
+        targets = np.linspace(0, n, t + 1)[1:-1]
+        cuts = np.unique(
+            str_starts[np.searchsorted(str_starts, targets, side="left")]
+        )
+        off = np.concatenate(([0], cuts, [n])).astype(np.int64)
+        return np.unique(off)
 
     @staticmethod
     def build_from_codes(codes, str_starts, lengths, codemap=None,
                          sigma=SIGMA) -> "FMIndex":
         n = len(codes)
         sa = None
-        if n >= FMIndex.SHARDED_SA_MIN and len(lengths) > 1:
+        bwt = None
+        disk = os.environ.get("PSI_SA_DISK")
+        use_disk = (
+            disk not in (None, "", "0")
+            or (disk is None and n >= FMIndex.SA_DISK_MIN)
+        )
+        if use_disk and len(lengths) > 1:
+            from psi_tpu import native
+
+            # small shards keep the per-shard SA-IS workspace (~13 B/
+            # char) bounded; ~128 Mchar each
+            t = max(2, -(-n // (1 << 27)))
+            off = FMIndex._shard_cuts(str_starts, n, t)
+            if len(off) > 2:
+                res = native.sais_disk(codes, off)
+                if res is not None:
+                    sa, bwt = res
+        if sa is None and n >= FMIndex.SHARDED_SA_MIN and len(lengths) > 1:
             from psi_tpu import native
 
             import multiprocessing
 
             t = max(2, min(8, multiprocessing.cpu_count()))
-            # shard boundaries at string starts, ~equal text per shard
-            targets = np.linspace(0, n, t + 1)[1:-1]
-            cuts = np.unique(
-                str_starts[
-                    np.searchsorted(str_starts, targets, side="left")
-                ]
-            )
-            off = np.concatenate(([0], cuts, [n])).astype(np.int64)
-            off = np.unique(off)
+            off = FMIndex._shard_cuts(str_starts, n, t)
             if len(off) > 2:
                 sa = native.sais_sharded(codes, off)
         if sa is None:
             sa = suffix_array(codes)
-        if n:
+        if bwt is None and n:
             from psi_tpu import native
 
             bwt = native.bwt_from_sa(codes, sa)
             if bwt is None:
                 bwt = codes[(sa - 1) % n]
-        else:
+        elif bwt is None:
             bwt = np.zeros(0, dtype=np.uint8)
         counts = np.bincount(codes, minlength=sigma).astype(np.int64)
         C = np.zeros(sigma + 1, dtype=np.int64)

@@ -52,6 +52,12 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, i64p
         ]
         lib.psi_sais_sharded.restype = None
+        if hasattr(lib, "psi_sais_merge_disk"):
+            lib.psi_sais_merge_disk.argtypes = [
+                u8p, ctypes.c_int64, i64p, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_char_p, u8p, ctypes.c_int64,
+            ]
+            lib.psi_sais_merge_disk.restype = ctypes.c_int64
         lib.psi_bwt_from_sa.argtypes = [u8p, i64p, ctypes.c_int64, u8p]
         lib.psi_bwt_from_sa.restype = None
         lib.psi_occ_checkpoints.argtypes = [
@@ -177,6 +183,81 @@ def sais_sharded(
     sa = np.empty(n, dtype=np.int64)
     lib.psi_sais_sharded(text, n, shard_off, len(shard_off) - 1, sa)
     return sa
+
+
+def sais_disk(
+    text_codes: np.ndarray,
+    shard_off: np.ndarray,
+    tmpdir: Optional[str] = None,
+    workers: int = 0,
+    bufelems: int = 1 << 20,
+):
+    """Bounded-RAM sharded SA build: per-shard SA-IS spilled to a
+    shards file, then a k-way heap merge streaming the merged SA to
+    disk with the BWT filled on the fly. Peak RSS = text + bwt + the
+    in-flight shards' SA-IS workspace — independent of total text size
+    (ref external-memory build: include/psi/fmindex.hpp:214-228).
+
+    Returns (sa_memmap, bwt) or None without the library. The on-disk
+    SA file is unlinked after mapping (lives until the memmap closes).
+    """
+    import os
+    import tempfile
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_sais_merge_disk"):
+        return None
+    text = np.ascontiguousarray(text_codes, dtype=np.uint8)
+    shard_off = np.ascontiguousarray(shard_off, dtype=np.int64)
+    n = len(text)
+    nshards = len(shard_off) - 1
+    if workers <= 0:
+        env_w = os.environ.get("PSI_SA_WORKERS")
+        workers = (
+            int(env_w) if env_w
+            else min(2, max(os.cpu_count() or 1, 1))
+        )
+    tmpdir = tmpdir or os.environ.get("PSI_SA_TMP") or tempfile.gettempdir()
+    shards_path = os.path.join(tmpdir, f"psi_sa_shards_{os.getpid()}.bin")
+    out_path = os.path.join(tmpdir, f"psi_sa_merged_{os.getpid()}.bin")
+    fd = os.open(shards_path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o600)
+    try:
+        def build_one(s):
+            a, b = int(shard_off[s]), int(shard_off[s + 1])
+            buf = np.empty(b - a, dtype=np.int64)
+            lib.psi_sais(text[a:b], b - a, buf)
+            buf += a
+            view = memoryview(buf).cast("B")
+            off_b = a * 8
+            while len(view):
+                w = os.pwrite(fd, view, off_b)
+                view = view[w:]
+                off_b += w
+
+        if workers > 1 and nshards > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(build_one, range(nshards)))
+        else:
+            for s in range(nshards):
+                build_one(s)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    try:
+        bwt = np.empty(n, dtype=np.uint8)
+        rc = lib.psi_sais_merge_disk(
+            text, n, shard_off, nshards,
+            shards_path.encode(), out_path.encode(), bwt, bufelems,
+        )
+        if rc != 0:
+            return None
+    finally:
+        os.unlink(shards_path)
+    sa = np.memmap(out_path, dtype=np.int64, mode="r", shape=(n,))
+    os.unlink(out_path)  # the mapping keeps the inode alive
+    return sa, bwt
 
 
 def bwt_from_sa(text_codes: np.ndarray, sa: np.ndarray) -> Optional[np.ndarray]:

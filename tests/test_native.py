@@ -111,6 +111,64 @@ def test_sais_sharded_fm_parity():
         assert occ1 == occ2
 
 
+def test_sais_disk_matches_sharded(tmp_path):
+    """Bounded-RAM disk build (shard spill + streaming heap merge +
+    in-merge BWT) must reproduce the in-RAM sharded SA and BWT exactly
+    (identical comparator, identical tie order)."""
+    from psi_tpu.fmindex import CODE
+
+    rng = np.random.RandomState(9)
+    # include near-identical haplotype strings (long shared prefixes —
+    # the merge's worst case)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    strings = [base]
+    for _ in range(7):
+        b = list(base)
+        for _ in range(5):
+            b[rng.randint(len(b))] = "ACGT"[rng.randint(4)]
+        strings.append("".join(b))
+    parts, starts, lengths = [], [0], []
+    for s in strings:
+        c = CODE[np.frombuffer(s.encode(), np.uint8)]
+        parts += [c, np.zeros(1, np.uint8)]
+        lengths.append(len(c))
+        starts.append(starts[-1] + len(c) + 1)
+    codes = np.concatenate(parts)
+    off = np.asarray(
+        [0, starts[2], starts[3], starts[6], len(codes)], dtype=np.int64
+    )
+    sa_ram = native.sais_sharded(codes, off)
+    res = native.sais_disk(codes, off, tmpdir=str(tmp_path), bufelems=512)
+    assert res is not None
+    sa_disk, bwt_disk = res
+    np.testing.assert_array_equal(np.asarray(sa_disk), sa_ram)
+    np.testing.assert_array_equal(bwt_disk, native.bwt_from_sa(codes, sa_ram))
+
+
+def test_build_from_codes_disk_mode(monkeypatch):
+    """PSI_SA_DISK=1 end-to-end through FMIndex.build_from_strings."""
+    from psi_tpu.fmindex import FMIndex
+
+    rng = np.random.RandomState(10)
+    strings = [
+        "".join(rng.choice(list("ACGT"), size=rng.randint(500, 2000)))
+        for _ in range(10)
+    ]
+    fm1 = FMIndex.build_from_strings(strings)
+    monkeypatch.setenv("PSI_SA_DISK", "1")
+    fm2 = FMIndex.build_from_strings(strings)
+    for _ in range(100):
+        s = strings[rng.randint(len(strings))]
+        i = rng.randint(0, len(s) - 12)
+        pat = s[i: i + 12]
+        assert fm1.count(pat) == fm2.count(pat)
+        occ1 = sorted(zip(*map(list, fm1.text_pos_to_string(
+            fm1.locate(*fm1.backward_search(pat))))))
+        occ2 = sorted(zip(*map(list, fm2.text_pos_to_string(
+            fm2.locate(*fm2.backward_search(pat))))))
+        assert occ1 == occ2
+
+
 @pytest.mark.parametrize("seed,k", [(0, 4), (1, 9), (2, 20), (3, 31)])
 def test_trie_schedule_matches_numpy(seed, k):
     """Native pattern-order counting builder vs the NumPy argsort
