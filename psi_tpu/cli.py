@@ -3,6 +3,13 @@
 Output format: raw binary stream of (node_id, node_offset, read_id,
 read_offset) per hit, 8-byte little-endian each (ref: psikt.cpp:172-181
 writes the four size_t fields of each Seed).
+
+Bidirected inputs (reverse-complement node doubling at ingest,
+io/bidir.py) emit strand-aware: a hit on a reverse twin carries the
+NEGATED original node id (vg is_reverse = True; ref: vg/vg.proto:29-34),
+and its node_offset counts from the forward node's end — exactly vg's
+reverse-orientation offset convention. Forward-only graphs
+(graph.rc_base == 0) are byte-identical to the reference stream.
 """
 
 from __future__ import annotations
@@ -282,9 +289,18 @@ def main(argv: Optional[list] = None) -> int:
         found += len(hits)
         n_chunks += 1
         covered_reads.update(np.unique(hits["read_id"]).tolist())
-        # bulk binary write of (node_id, node_offset, read_id, read_offset)
+        # bulk binary write of (node_id, node_offset, read_id, read_offset);
+        # on node-doubled bidirected inputs (graph.rc_base > 0) hits on
+        # reverse twins are emitted STRAND-AWARE: node_id = NEGATED
+        # original node id (vg is_reverse = True), node_offset already
+        # counts from the forward node's end (the vg reverse-offset
+        # convention; see Graph.forward_strand)
         cols = np.empty((len(hits), 4), dtype="<i8")
-        cols[:, 0] = hits["node_id"]
+        if graph.rc_base:
+            fwd, rev = graph.forward_strand(hits["node_id"])
+            cols[:, 0] = np.where(rev, -fwd, fwd)
+        else:
+            cols[:, 0] = hits["node_id"]
         cols[:, 1] = hits["node_offset"]
         cols[:, 2] = hits["read_id"]
         cols[:, 3] = hits["read_offset"]

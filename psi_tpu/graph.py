@@ -139,6 +139,20 @@ class Graph:
             return c - self.rc_base
         return c
 
+    def forward_strand(self, node_ids):
+        """Vectorized (forward coordinate, is_reverse) for hit emission
+        (vg Position semantics, ref: vg/vg.proto:29-34): hits on
+        reverse-complement twins map back to the original node id with
+        is_reverse = True; offsets on a twin already count from the
+        forward node's END, which IS the vg is_reverse offset
+        convention, so they pass through unchanged."""
+        ids = np.asarray(node_ids, dtype=np.int64)
+        coords = self.coord_ids[ids - 1] if len(ids) else ids
+        if not self.rc_base:
+            return coords, np.zeros(len(ids), dtype=bool)
+        rev = coords >= self.rc_base
+        return np.where(rev, coords - self.rc_base, coords), rev
+
     # --- labels -------------------------------------------------------------
     def node_length(self, node_id: int) -> int:
         return self._node_len_list[node_id - 1]

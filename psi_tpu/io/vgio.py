@@ -254,13 +254,19 @@ def write_vg(path: str, messages: List[bytes]) -> None:
 def encode_vg_path_mappings(mappings) -> bytes:
     """Serialize a vg::Path message from
     [(node_id, offset, rank, [(from_len, to_len, seq)])] rows
-    (the convert() output shape, ref: path_interface.hpp:842-942)."""
+    (the convert() output shape, ref: path_interface.hpp:842-942).
+    Rows may carry a 5th element is_reverse (strand-aware exports from
+    node-doubled bidirected graphs; ref: vg/vg.proto:29-34)."""
     pmsg = bytearray()
-    for nid, off, rank, edits in mappings:
+    for row in mappings:
+        nid, off, rank, edits = row[0], row[1], row[2], row[3]
+        is_rev = row[4] if len(row) > 4 else False
         pos = bytearray()
         _write_field(pos, 1, 0, nid)
         if off:
             _write_field(pos, 2, 0, off)
+        if is_rev:
+            _write_field(pos, 4, 0, 1)
         mapping = bytearray()
         _write_field(mapping, 1, 2, bytes(pos))
         for from_len, to_len, seq in edits:
@@ -286,8 +292,8 @@ def encode_vg_alignment(
     mappings=None,
 ) -> bytes:
     """Serialize one vg::Alignment (GAM record): name, sequence, and a
-    Path of (node_id, offset) mappings — or full mappings-with-edits
-    rows via `mappings` (convert() shape)."""
+    Path of (node_id, offset[, is_reverse]) mappings — or full
+    mappings-with-edits rows via `mappings` (convert() shape)."""
     import struct as _struct
 
     out = bytearray()
@@ -296,11 +302,15 @@ def encode_vg_alignment(
         _write_field(out, 2, 2, encode_vg_path_mappings(mappings))
     elif path_nodes:
         pmsg = bytearray()
-        for rank, (nid, off) in enumerate(path_nodes, start=1):
+        for rank, node in enumerate(path_nodes, start=1):
+            nid, off = node[0], node[1]
+            is_rev = node[2] if len(node) > 2 else False
             pos = bytearray()
             _write_field(pos, 1, 0, nid)
             if off:
                 _write_field(pos, 2, 0, off)
+            if is_rev:
+                _write_field(pos, 4, 0, 1)
             mapping = bytearray()
             _write_field(mapping, 1, 2, bytes(pos))
             _write_field(mapping, 5, 0, rank)
@@ -332,7 +342,8 @@ def write_gam(path: str, alignments: List[bytes], tagged: bool = True) -> None:
 
 
 def read_gam(path: str) -> List[dict]:
-    """Parse a GAM stream into dicts with name/sequence/path."""
+    """Parse a GAM stream into dicts with name/sequence/path; path
+    entries are (node_id, offset, is_reverse)."""
     out = []
     for msg in iter_vg_messages(path):
         rec = {"name": "", "sequence": "", "path": []}
@@ -344,7 +355,7 @@ def read_gam(path: str) -> List[dict]:
             elif field == 2 and wtype == 2:
                 for f2, _, v2 in _iter_fields(val):
                     if f2 == 2:  # mapping
-                        nid, off = 0, 0
+                        nid, off, rev = 0, 0, False
                         for f3, _, v3 in _iter_fields(v2):
                             if f3 == 1:  # position
                                 for f4, _, v4 in _iter_fields(v3):
@@ -352,6 +363,8 @@ def read_gam(path: str) -> List[dict]:
                                         nid = v4
                                     elif f4 == 2:
                                         off = v4
-                        rec["path"].append((nid, off))
+                                    elif f4 == 4:  # is_reverse
+                                        rev = bool(v4)
+                        rec["path"].append((nid, off, rev))
         out.append(rec)
     return out

@@ -513,8 +513,8 @@ def convert_path(graph, path, loci=None):
             else:
                 label_len = graph.node_length(nid)
             mappings.append(
-                (graph.coordinate_id(nid), noff, i + 1,
-                 [(label_len, label_len, "")])
+                _strand_row(graph, nid, noff, i + 1,
+                            [(label_len, label_len, "")])
             )
         return mappings
 
@@ -552,5 +552,16 @@ def convert_path(graph, path, loci=None):
             if coffset >= label_len:
                 break
         start_off = path.get_head_offset() if i == 0 else 0
-        mappings.append((graph.coordinate_id(nid), start_off, i + 1, edits))
+        mappings.append(_strand_row(graph, nid, start_off, i + 1, edits))
     return mappings
+
+
+def _strand_row(graph, nid, off, rank, edits):
+    """One convert_path mapping row, strand-aware: reverse-twin nodes of
+    a doubled bidirected graph export their FORWARD coordinate with
+    is_reverse = True (vg Position semantics, ref: vg/vg.proto:29-34);
+    forward-only graphs keep the 4-tuple shape unchanged."""
+    coord = graph.coordinate_id(nid)
+    if graph.rc_base and coord >= graph.rc_base:
+        return (coord - graph.rc_base, off, rank, edits, True)
+    return (coord, off, rank, edits)

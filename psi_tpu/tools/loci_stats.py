@@ -18,6 +18,11 @@ def main(argv=None) -> int:
     p.add_argument("--min-node", type=int, default=0)
     p.add_argument("--max-node", type=int, default=0)
     p.add_argument("-c", "--count-only", action="store_true")
+    p.add_argument(
+        "--rc-base", type=int, default=0,
+        help="graph rc_base of a node-doubled bidirected input: print "
+        "loci on reverse twins as forward id + strand column",
+    )
     args = p.parse_args(argv)
 
     from psi_tpu.seed_finder import SeedFinder
@@ -42,7 +47,12 @@ def main(argv=None) -> int:
         print(len(arr))
         return 0
     for nid, off in arr:
-        print(f"{nid}\t{off}")
+        if args.rc_base:
+            strand = "-" if nid >= args.rc_base else "+"
+            fwd = nid - args.rc_base if nid >= args.rc_base else nid
+            print(f"{fwd}\t{off}\t{strand}")
+        else:
+            print(f"{nid}\t{off}")
     print(f"# total: {len(arr)} loci in {len(set(arr[:, 0].tolist()))} nodes",
           file=sys.stderr)
     return 0

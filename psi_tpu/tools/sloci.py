@@ -17,6 +17,13 @@ def main(argv=None) -> int:
     exp = sub.add_parser("export", help="loci artifact -> TSV")
     exp.add_argument("input", help=".npy loci artifact")
     exp.add_argument("-o", "--output", default="-")
+    exp.add_argument(
+        "--rc-base", type=int, default=0,
+        help="graph rc_base of a node-doubled bidirected input: loci on "
+        "reverse twins (id >= rc_base) export as forward id + strand "
+        "column (the artifact itself stores the synthetic twin ids; "
+        "vg is_reverse semantics, ref: vg/vg.proto:29-34)",
+    )
 
     imp = sub.add_parser("import", help="TSV -> loci artifact")
     imp.add_argument("input", help="TSV with node_id<TAB>offset rows")
@@ -30,8 +37,14 @@ def main(argv=None) -> int:
     if args.cmd == "export":
         arr = np.load(args.input)
         out = sys.stdout if args.output == "-" else open(args.output, "w")
+        rcb = args.rc_base
         for nid, off in arr:
-            out.write(f"{nid}\t{off}\n")
+            if rcb:
+                strand = "-" if nid >= rcb else "+"
+                fwd = nid - rcb if nid >= rcb else nid
+                out.write(f"{fwd}\t{off}\t{strand}\n")
+            else:
+                out.write(f"{nid}\t{off}\n")
         if out is not sys.stdout:
             out.close()
         return 0

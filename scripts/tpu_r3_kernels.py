@@ -13,7 +13,7 @@ import sys
 import time
 
 MEASURE = r"""
-import os, time, numpy as np, sys
+import json, os, time, numpy as np, sys
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
@@ -90,8 +90,6 @@ out = {"variant": variant, "keys": len(keys_u), "prep_s": round(prep_s, 2),
        "compile_s": round(compile_s, 1), "ms_per_batch": round(dt * 1e3, 1),
        "kmers_per_s": round(rate, 1), "parity": ok,
        "slabs": fm_stream.SLABS, "ring": fm_stream.RING}
-print("RESULT " + json.dumps(out))
-import json
 print("RESULT " + json.dumps(out))
 """
 

@@ -143,3 +143,31 @@ def test_vg_inversion_roundtrip(tmp_path, inv_graph):
     twin = g.id_by_coordinate(12)
     assert g.node_sequence(twin) == "TTGG"
     assert g.id_by_coordinate(3) in g.out_neighbors(twin)
+
+
+def test_cli_strand_aware_stream(tmp_path):
+    """Truth case for strand-aware emission (vg is_reverse semantics):
+    a read crossing the inversion produces a hit on node 2's reverse
+    twin, emitted in the binary stream as node_id == -2 with the
+    reverse-strand offset (distance from the forward node's end)."""
+    from psi_tpu.cli import main
+
+    gfa = tmp_path / "inv.gfa"
+    gfa.write_text(GFA_INV)
+    fq = tmp_path / "r.fastq"
+    # read = path positions 2..9 of AAAA|TTGG|TTTT: crosses 1+ -> 2-
+    fq.write_text("@r0\nAATTGGTT\n+\nIIIIIIII\n")
+    out = tmp_path / "hits.bin"
+    assert main(
+        [str(gfa), "-f", str(fq), "-l", "4", "-n", "1", "-o", str(out),
+         "--device", "cpu", "-q", "-Q"]
+    ) == 0
+    rows = {tuple(r) for r in
+            np.fromfile(out, dtype=np.int64).reshape(-1, 4).tolist()}
+    # seed "AATT" (read offset 0): node 1 forward, offset 2
+    assert (1, 2, 0, 0) in rows
+    # seed "GGTT" (read offset 4): starts on the reverse twin of node 2
+    # at twin offset 2 = vg (node 2, is_reverse, offset 2)
+    assert (-2, 2, 0, 4) in rows
+    # nothing still carries a synthetic twin coordinate (>= rc_base)
+    assert all(r[0] < 10 for r in rows)

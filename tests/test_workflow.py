@@ -69,7 +69,7 @@ def test_simulate_find_analyse(data_dir, tmp_path, capsys):
     tgaf = tmp_path / "truth.gaf"
     with open(tgaf, "w") as fh:
         for rec in truth:
-            nid, noff = rec["path"][0]
+            nid, noff, _rev = rec["path"][0]
             ln = graph.node_length(graph.id_by_coordinate(nid))
             fh.write(
                 f"{rec['name']}\t12\t0\t12\t+\t>{nid}\t{ln}\t{noff}\t"
