@@ -159,28 +159,100 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _expand_locate_device(
+    sa: jax.Array,          # int32 [n] dense suffix array
+    str_starts: jax.Array,  # int32 [m+1]
+    lengths: jax.Array,     # int32 [m]
+    seq_off: jax.Array,     # int32 [m+1]
+    lo: jax.Array,          # int32 [Npad] pattern-order ranges (device-resident)
+    hi: jax.Array,
+    n_leaves: jax.Array,    # int32 scalar: real slots are [0, n_leaves)
+    thr: jax.Array,         # int32 scalar gocc threshold
+    k: int,
+    cap: int,
+):
+    """Occurrence expansion + locate + global-position mapping, fully on
+    device, chained onto the trie search's device-resident lo/hi (no
+    lo/hi round-trip, no sa_idx upload — the transfer levers of the
+    sustained pipeline). Emits one int32 global sequence position per
+    occurrence, in (pattern slot, SA rank) order; the host joins
+    occurrences back to seeds from the counts alone (the expansion
+    order is deterministic), so gpos is the ONLY per-hit download
+    (4 B/hit vs 2x4 B for (node, offset) columns; the node map is one
+    host searchsorted)."""
+    counts = hi - lo
+    valid = jnp.arange(lo.shape[0], dtype=jnp.int32) < n_leaves
+    w = jnp.where(valid & (counts > 0) & (counts <= thr), counts, 0)
+    csum = jnp.cumsum(w)
+    total = csum[-1]
+    occ = jnp.arange(cap, dtype=jnp.int32)
+    slot = jnp.searchsorted(csum, occ, side="right").astype(jnp.int32)
+    slot_c = jnp.clip(slot, 0, w.shape[0] - 1)
+    within = occ - (csum[slot_c] - w[slot_c])
+    live = occ < total
+    sa_idx = jnp.clip(lo[slot_c] + within, 0, sa.shape[0] - 1)
+    pos = sa[sa_idx]
+    sid = jnp.searchsorted(str_starts, pos, side="right") - 1
+    q = pos - str_starts[sid]
+    gpos = seq_off[sid] + (lengths[sid] - q - k)
+    return jnp.where(live, gpos, -1), total
+
+
 @functools.partial(
-    jax.jit, static_argnames=("use_pallas", "interpret", "packed")
+    jax.jit,
+    static_argnames=(
+        "use_pallas", "interpret", "packed", "with_counts", "masked"
+    ),
 )
 def _trie_device(
     arrays: StreamArrays,
-    parents: jax.Array,   # int32 [levels, Npad]; packed: uint16 poff
-    chars: jax.Array,     # int32 [levels, Npad]; packed: int32 charpk
+    parents: jax.Array,   # int32 [levels, Npad]; packed: uint16 poff;
+                          # masked: uint8 [levels, Npad//2] 4-bit masks
+    chars: jax.Array,     # int32 [levels, Npad]; packed: int32 charpk;
+                          # masked: unused (pass parents again)
     use_pallas: bool = False,
     interpret: bool = False,
     lo0: jax.Array | None = None,   # optional ftab-seeded frontier
     hi0: jax.Array | None = None,
     pbase: jax.Array | None = None,  # packed: int32 [levels, Npad//PSLAB]
     packed: bool = False,
+    with_counts: bool = False,  # also return hi - lo (counts-only fetch)
+    masked: bool = False,       # mask wire format (in-device derive)
+    ftab_tab: jax.Array | None = None,   # int32 [R, 2] device-resident ftab
+    ftab_rows: jax.Array | None = None,  # int32 [Npad] frontier row ids
 ):
     n = arrays.n
-    Npad = parents.shape[1]  # poff (packed) and parents are full-width
+    Npad = parents.shape[1] * (2 if masked else 1)
+    if ftab_tab is not None and ftab_rows is not None:
+        # seed the frontier by an on-device ftab gather: uploads one
+        # int32 row-id array instead of the two lo0/hi0 arrays
+        lo0 = ftab_tab[ftab_rows, 0]
+        hi0 = ftab_tab[ftab_rows, 1]
     if lo0 is None:
         lo0 = jnp.zeros(Npad, dtype=jnp.int32)
     if hi0 is None:
         hi0 = jnp.full(Npad, n, dtype=jnp.int32)
 
     def unpack(xs):
+        if masked:
+            # mask wire format: schedule derived in-device from 4-bit
+            # parent masks (bit c-1 set = parent has a c-child). Child
+            # layout is c-major over pattern-ordered parents — exactly
+            # the host schedule's frontier order — and padding clamps
+            # to the last real child, matching _pad_level.
+            (mp,) = xs
+            m32 = mp.astype(jnp.int32)
+            nib = jnp.stack([m32 & 15, m32 >> 4], axis=1).reshape(-1)
+            bits = (
+                nib[None, :] >> jnp.arange(4, dtype=jnp.int32)[:, None]
+            ) & 1
+            cs = jnp.cumsum(bits.reshape(-1), dtype=jnp.int32)
+            total = cs[-1]
+            t = jnp.arange(Npad, dtype=jnp.int32)
+            tq = jnp.minimum(t + 1, jnp.maximum(total, 1))
+            f = jnp.searchsorted(cs, tq, side="left").astype(jnp.int32)
+            return f % Npad, f // Npad + 1
         if not packed:
             parent, c = xs
             return parent, c
@@ -195,7 +267,12 @@ def _trie_device(
         ).reshape(-1) + 1
         return parent, c
 
-    xs = (parents, pbase, chars) if packed else (parents, chars)
+    if masked:
+        xs = (parents,)
+    elif packed:
+        xs = (parents, pbase, chars)
+    else:
+        xs = (parents, chars)
 
     if use_pallas:
         def level(state, xs):
@@ -213,7 +290,7 @@ def _trie_device(
             return (new_lo, new_hi), None
 
         (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
-        return lo, hi
+        return (lo, hi, hi - lo) if with_counts else (lo, hi)
 
     if True:
         # XLA fallback: dense gather-free form is not available here;
@@ -254,7 +331,7 @@ def _trie_device(
         return (new_lo, new_hi), None
 
     (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
-    return lo, hi
+    return (lo, hi, hi - lo) if with_counts else (lo, hi)
 
 
 def _frontier_at(keys: np.ndarray, k: int, p: int):
@@ -301,6 +378,13 @@ class PreparedTrie(NamedTuple):
     hi0: jax.Array | None
     leaf_perm: np.ndarray
     n: int
+    #: mask wire format: uint8 [levels, Npad//2] 4-bit parent masks
+    #: (~0.5 B/child vs 6 B packed / 8 B plain; the schedule is derived
+    #: in-device — the smallest per-chunk upload for tunneled chips)
+    mask: jax.Array | None = None
+    #: on-device ftab seeding: int32 [Npad] frontier row ids (replaces
+    #: the lo0/hi0 upload when the ftab table is device-resident)
+    ftab_rows: jax.Array | None = None
 
 
 def prepare(
@@ -310,6 +394,7 @@ def prepare(
     npad: int | None = None,
     to_device: bool = True,
     pack: bool | None = None,
+    wire: str | None = None,
 ) -> PreparedTrie:
     """Host precompute for `trie_search`: schedule build + padding +
     device transfer. Thread-safe; call from a producer thread.
@@ -317,7 +402,14 @@ def prepare(
     `npad` forces a minimum pad width (the sharded route needs one
     common width across shards); `to_device=False` keeps the arrays as
     NumPy for the caller to stack/place (sharded route); `pack`
-    overrides the PSI_TRIE_PACK env choice."""
+    overrides the PSI_TRIE_PACK env choice; `wire` picks the wire
+    format explicitly: "mask" ships 4-bit parent masks + frontier row
+    ids (~0.5 B/child, schedule derived in-device — smallest transfer,
+    PSI_TRIE_WIRE=mask), "packed"/"plain" the materialized schedules."""
+    import os
+
+    if wire is None:
+        wire = os.environ.get("PSI_TRIE_WIRE", "packed")
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
@@ -333,15 +425,37 @@ def prepare(
     start = 0
     lo0 = hi0 = None
     put = jnp.asarray if to_device else np.asarray
+    ftab_rows = None
     if sched.frontier_level:
         start = p
-        ranges = ftab[sched.frontier_rows]       # pattern order
-        lo0 = put(_pad_level(
-            ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
-        ))
-        hi0 = put(_pad_level(
-            ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
-        ))
+        if wire == "mask":
+            rows = sched.frontier_rows.astype(np.int32)
+            ftab_rows = put(_pad_level(rows, Npad, int(rows[-1])))
+        else:
+            ranges = ftab[sched.frontier_rows]       # pattern order
+            lo0 = put(_pad_level(
+                ranges[:, 0].astype(np.int32), Npad, int(ranges[-1, 0])
+            ))
+            hi0 = put(_pad_level(
+                ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
+            ))
+    if wire == "mask":
+        levels = k - start
+        mask = np.zeros((levels, Npad), dtype=np.uint8)
+        for jj in range(levels):
+            p_arr = sched.parents[start + jj]
+            c_arr = sched.chars[start + jj]
+            np.bitwise_or.at(
+                mask[jj], p_arr,
+                (np.uint8(1) << (c_arr - 1).astype(np.uint8)),
+            )
+        mask_packed = mask[:, 0::2] | (mask[:, 1::2] << np.uint8(4))
+        return PreparedTrie(
+            parents=None, chars=None, poff=None, pbase=None, charpk=None,
+            lo0=lo0, hi0=hi0,
+            leaf_perm=sched.leaf_perm, n=N,
+            mask=put(mask_packed), ftab_rows=ftab_rows,
+        )
     parents = np.stack(
         [_pad_level(q, Npad, max(int(q[-1]), 0))
          for q in sched.parents[start:]]
@@ -410,17 +524,32 @@ def trie_search(
     schedule build entirely."""
     if prepared is None:
         prepared = prepare(keys, k, ftab)
+    masked = prepared.mask is not None
     packed = prepared.poff is not None
+    ftab_tab = None
+    if masked and prepared.ftab_rows is not None:
+        ftab_tab = jnp.asarray(np.asarray(ftab, dtype=np.int32))
+    sched_arr = (
+        prepared.mask if masked
+        else prepared.poff if packed else prepared.parents
+    )
+    chars_arr = (
+        prepared.mask if masked
+        else prepared.charpk if packed else prepared.chars
+    )
     lo, hi = _trie_device(
         arrays,
-        prepared.poff if packed else prepared.parents,
-        prepared.charpk if packed else prepared.chars,
+        sched_arr,
+        chars_arr,
         use_pallas=use_pallas,
         interpret=interpret,
         lo0=prepared.lo0,
         hi0=prepared.hi0,
         pbase=prepared.pbase,
         packed=packed,
+        masked=masked,
+        ftab_tab=ftab_tab,
+        ftab_rows=prepared.ftab_rows,
     )
     lo = np.asarray(lo)[prepared.leaf_perm]
     hi = np.asarray(hi)[prepared.leaf_perm]

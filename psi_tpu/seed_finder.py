@@ -64,6 +64,7 @@ class SeedFinder:
         self._map_arrays = None
         self._stream_arrays = None
         self._ftab_np = None
+        self._ftab_d = None  # device-resident ftab (mask wire format)
         import threading
 
         self._prep_lock = threading.Lock()
@@ -657,6 +658,118 @@ class SeedFinder:
             )
         return lo[inv], hi[inv]
 
+    def _onpath_chain(self, index, search_keys: np.ndarray, thr: int):
+        """Fully device-chained on-path route: trie search -> counts-only
+        download -> device occurrence expansion + locate over the
+        DEVICE-RESIDENT lo/hi -> one int32 global position per hit. No
+        lo/hi round-trip and no sa_idx upload (the sustained-pipeline
+        transfer levers; the reference's comparable cost is the locate
+        loop of seed_finder.hpp:1426-1457). Returns (counts[search
+        order], emit mask, fn -> (emit_idx, occ_rows, node_ids,
+        node_offs)), or None when the chain does not apply."""
+        import jax
+        import jax.numpy as jnp
+
+        from psi_tpu.ops import fm_trie
+
+        if self.pindex.fm is None or self.pindex.fm.size == 0:
+            return None
+        k = self.seed_len
+        prep = getattr(index, "_onpath_prep", None)
+        if prep is not None and not isinstance(
+            prep[2], fm_trie.PreparedTrie
+        ):
+            prep = None
+        if prep is not None:
+            uniq, inv, prepared = prep
+        else:
+            uniq, inv = np.unique(search_keys, return_inverse=True)
+            prepared = fm_trie.prepare(uniq, k, self._get_ftab())
+        sarr = self._get_stream_arrays()
+        on_tpu = jax.default_backend() not in ("cpu",)
+        packed = prepared.poff is not None
+        masked = prepared.mask is not None
+        ftab_tab = None
+        if masked and prepared.ftab_rows is not None:
+            if self._ftab_d is None:
+                self._ftab_d = jnp.asarray(
+                    self._get_ftab().astype(np.int32)
+                )
+            ftab_tab = self._ftab_d
+        sched_arr = (
+            prepared.mask if masked
+            else prepared.poff if packed else prepared.parents
+        )
+        chars_arr = (
+            prepared.mask if masked
+            else prepared.charpk if packed else prepared.chars
+        )
+        lo_d, hi_d, counts_d = fm_trie._trie_device(
+            sarr,
+            sched_arr,
+            chars_arr,
+            use_pallas=on_tpu,
+            lo0=prepared.lo0,
+            hi0=prepared.hi0,
+            pbase=prepared.pbase,
+            packed=packed,
+            masked=masked,
+            ftab_tab=ftab_tab,
+            ftab_rows=prepared.ftab_rows,
+            with_counts=True,
+        )
+        # counts-only download (pattern order); lo/hi stay device-resident
+        counts_pat = np.asarray(counts_d)
+        leaf_perm = prepared.leaf_perm
+        counts_u = counts_pat[leaf_perm]
+        counts = counts_u[inv].astype(np.int64)
+        thr32 = int(min(thr, np.iinfo(np.int32).max))
+        emit = (counts > 0) & (counts <= thr32)
+
+        def occurrences():
+            pm = self._path_map
+            Npad = counts_pat.shape[0]
+            # real (non-padding) leaf slots are exactly [0, n_leaves):
+            # _pad_level appends padding after the last real child
+            n_leaves = len(uniq)
+            valid = np.arange(Npad) < n_leaves
+            w_pat = np.where(
+                valid & (counts_pat > 0) & (counts_pat <= thr32),
+                counts_pat, 0,
+            ).astype(np.int64)
+            total_u = int(w_pat.sum())
+            emit_idx = np.nonzero(emit)[0]
+            if total_u == 0:
+                z = np.zeros(0, dtype=np.int64)
+                return emit_idx, z, z, z
+            cap = max(16, 1 << (total_u - 1).bit_length())
+            maps = self._get_map_arrays()
+            gpos_pad, _ = fm_trie._expand_locate_device(
+                self._get_fm_arrays().sa,
+                maps.str_starts, maps.lengths, maps.seq_off,
+                lo_d, hi_d, jnp.asarray(n_leaves, dtype=jnp.int32),
+                jnp.asarray(thr32, dtype=jnp.int32),
+                k, cap,
+            )
+            gpos_stream = np.asarray(gpos_pad)[:total_u].astype(np.int64)
+            # join: the device stream is ordered by (pattern slot, SA
+            # rank); per-uniq segments are located from counts alone
+            occ_start_u = (np.cumsum(w_pat) - w_pat)[leaf_perm]
+            widths = counts[emit]
+            total = int(widths.sum())
+            occ_rows = np.repeat(np.arange(len(widths)), widths)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(widths) - widths, widths
+            )
+            u_per = inv[emit_idx][occ_rows]
+            gpos = gpos_stream[occ_start_u[u_per] + within]
+            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+            node_ids = pm["ids"][entry]
+            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+            return emit_idx, occ_rows, node_ids, node_offs
+
+        return counts, emit, occurrences
+
     def _get_map_arrays(self):
         if self._map_arrays is None and self._path_map is not None:
             from psi_tpu.ops import fm as fm_ops
@@ -733,60 +846,86 @@ class SeedFinder:
         uniq_end = np.append(uniq_start[1:], index.size)
 
         arrays = self._get_fm_arrays()
-        if self._stream_enabled():
-            lo, hi = self._search_stream(
-                search_keys, k, prep=getattr(index, "_onpath_prep", None)
-            )
-        else:
-            codes = fm_ops.keys_to_codes(search_keys, k)
-            lo, hi = fm_ops.backward_search_codes(arrays, jnp.asarray(codes))
-        lo = np.asarray(lo)
-        hi = np.asarray(hi)
-        counts = hi - lo
-
         thr = self.gocc_threshold if self.gocc_threshold else np.iinfo(np.int64).max
-        present = counts > 0
-        emit = present & (counts <= thr)
-        skipped = present & ~emit
-        tstats.add_seed_gocc_bulk(int(counts[emit].sum()), int(emit.sum()))
-        tstats.inc_gocc_skips(int(skipped.sum()))
-
-        if not emit.any():
-            return None
         fm = self.pindex.fm
         pm = self._path_map
-        emit_idx = np.nonzero(emit)[0]
 
-        # locate via direct dense-SA range expansion (no padded matrix:
-        # a single repetitive k-mer must not blow up the batch)
-        widths = counts[emit].astype(np.int64)
-        total = int(widths.sum())
-        occ_rows = np.repeat(np.arange(len(widths)), widths)
-        within = np.arange(total) - np.repeat(
-            np.cumsum(widths) - widths, widths
-        )
-        sa_idx = lo[emit][occ_rows] + within
-        row_per_occ = emit_idx[occ_rows]       # search row (variant)
-        ui_per_occ = origin[row_per_occ]       # seed group of the hit
-        if total and self._device_locate_enabled():
-            # device route: SA gather + string-id search + node map all
-            # on device; pad to a power-of-two bucket to bound recompiles
-            pad = max(16, 1 << (total - 1).bit_length())
-            sa_idx_p = np.zeros(pad, dtype=np.int32)
-            sa_idx_p[:total] = sa_idx
-            d_ids, d_offs = fm_ops.locate_map_device(
-                arrays, self._get_map_arrays(), jnp.asarray(sa_idx_p), k
+        chain = None
+        if (
+            self._stream_enabled()
+            and self._device_locate_enabled()
+            and self._get_mesh() is None
+        ):
+            chain = self._onpath_chain(index, search_keys, thr)
+        if chain is not None:
+            counts, emit, row_per_occ_fn = chain
+            skipped = (counts > 0) & ~emit
+            tstats.add_seed_gocc_bulk(
+                int(counts[emit].sum()), int(emit.sum())
             )
-            node_ids = np.asarray(d_ids)[:total].astype(np.int64)
-            node_offs = np.asarray(d_offs)[:total].astype(np.int64)
+            tstats.inc_gocc_skips(int(skipped.sum()))
+            if not emit.any():
+                return None
+            emit_idx, occ_rows, node_ids, node_offs = row_per_occ_fn()
+            row_per_occ = emit_idx[occ_rows]
+            ui_per_occ = origin[row_per_occ]
         else:
-            occ_pos = fm.sa[sa_idx]  # memmap-friendly
-            sid, q = fm.text_pos_to_string(occ_pos)
-            fwd = pm["lengths"][sid] - q - k
-            gpos = pm["seq_off"][sid] + fwd
-            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
-            node_ids = pm["ids"][entry]
-            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+            if self._stream_enabled():
+                lo, hi = self._search_stream(
+                    search_keys, k, prep=getattr(index, "_onpath_prep", None)
+                )
+            else:
+                codes = fm_ops.keys_to_codes(search_keys, k)
+                lo, hi = fm_ops.backward_search_codes(
+                    arrays, jnp.asarray(codes)
+                )
+            lo = np.asarray(lo)
+            hi = np.asarray(hi)
+            counts = hi - lo
+
+            present = counts > 0
+            emit = present & (counts <= thr)
+            skipped = present & ~emit
+            tstats.add_seed_gocc_bulk(
+                int(counts[emit].sum()), int(emit.sum())
+            )
+            tstats.inc_gocc_skips(int(skipped.sum()))
+
+            if not emit.any():
+                return None
+            emit_idx = np.nonzero(emit)[0]
+
+            # locate via direct dense-SA range expansion (no padded
+            # matrix: a single repetitive k-mer must not blow up the
+            # batch)
+            widths = counts[emit].astype(np.int64)
+            total = int(widths.sum())
+            occ_rows = np.repeat(np.arange(len(widths)), widths)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(widths) - widths, widths
+            )
+            sa_idx = lo[emit][occ_rows] + within
+            row_per_occ = emit_idx[occ_rows]       # search row (variant)
+            ui_per_occ = origin[row_per_occ]       # seed group of the hit
+            if total and self._device_locate_enabled():
+                # device route: SA gather + string-id search + node map
+                # on device; pad to a power-of-two bucket
+                pad = max(16, 1 << (total - 1).bit_length())
+                sa_idx_p = np.zeros(pad, dtype=np.int32)
+                sa_idx_p[:total] = sa_idx
+                d_ids, d_offs = fm_ops.locate_map_device(
+                    arrays, self._get_map_arrays(), jnp.asarray(sa_idx_p), k
+                )
+                node_ids = np.asarray(d_ids)[:total].astype(np.int64)
+                node_offs = np.asarray(d_offs)[:total].astype(np.int64)
+            else:
+                occ_pos = fm.sa[sa_idx]  # memmap-friendly
+                sid, q = fm.text_pos_to_string(occ_pos)
+                fwd = pm["lengths"][sid] - q - k
+                gpos = pm["seq_off"][sid] + fwd
+                entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+                node_ids = pm["ids"][entry]
+                node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
 
         # cross product: repeat each occurrence by its k-mer's seed count
         n_seeds_per_ui = (uniq_end - uniq_start)[ui_per_occ]

@@ -208,10 +208,65 @@ def test_trie_search_matches_generic():
     ftab = fm_ops.build_ftab(fm, 5)
     for pallas in (False, True):
         for ft in (None, ftab):
-            lo2, hi2 = fm_trie.trie_search(
-                arr, keys, k, use_pallas=pallas, interpret=pallas, ftab=ft
-            )
-            np.testing.assert_array_equal(w1, hi2 - lo2)
-            nz = w1 > 0
-            assert nz.any()
-            np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
+            for wire in ("packed", "mask"):
+                prep = fm_trie.prepare(keys, k, ft, wire=wire)
+                lo2, hi2 = fm_trie.trie_search(
+                    arr, keys, k, use_pallas=pallas, interpret=pallas,
+                    ftab=ft, prepared=prep,
+                )
+                np.testing.assert_array_equal(w1, hi2 - lo2)
+                nz = w1 > 0
+                assert nz.any()
+                np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
+
+
+def test_seed_finder_chain_route_matches_default(monkeypatch):
+    """The fully device-chained on-path route (trie -> counts-only
+    download -> device expand+locate via device-resident lo/hi) emits
+    the identical hit multiset to the plain route, with and without a
+    gocc threshold and under mismatch expansion."""
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    rng = np.random.RandomState(21)
+    seq = "".join(rng.choice(list("ACGT"), size=900))
+    # repeat a block so some k-mers have gocc > 1
+    seq = seq + seq[100:220] + seq[300:360]
+    g = Graph.from_parts(nodes={1: seq}, edges=[], paths=[("ref", [1])])
+
+    def run(chain, thr=0, mm=0):
+        if chain:
+            monkeypatch.setenv("PSI_STREAM", "1")
+            monkeypatch.setenv("PSI_DEVICE_LOCATE", "1")
+        else:
+            monkeypatch.delenv("PSI_STREAM", raising=False)
+            monkeypatch.delenv("PSI_DEVICE_LOCATE", raising=False)
+        finder = SeedFinder(
+            g, seed_len=12, gocc_threshold=thr, seed_mismatches=mm
+        )
+        finder.create_path_index(n=1, patched=False)
+        reads = Records(
+            [f"r{i}" for i in range(10)],
+            [seq[i * 97: i * 97 + 50] for i in range(10)],
+        )
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        if chain:
+            finder.prepare_onpath(index)
+        hits = []
+        finder.seeds_on_paths(seeds, index, hits.append)
+        return sorted(
+            (s.node_id, s.node_offset, s.read_id, s.read_offset, s.gocc)
+            for s in hits
+        )
+
+    for thr, mm in ((0, 0), (1, 0), (0, 1)):
+        a = run(False, thr, mm)
+        b = run(True, thr, mm)
+        assert len(a) > 0
+        assert a == b, (thr, mm)
+    # mask wire format through the same chained route
+    monkeypatch.setenv("PSI_TRIE_WIRE", "mask")
+    c = run(True)
+    assert c == run(False)
