@@ -80,10 +80,13 @@ def probe_tpu(timeout_s: int = 90, attempts: int = 3) -> bool:
 
 
 def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
-    """Sustained on-path pipeline: producer thread (parse + seed +
-    index + trie schedule + upload) feeding 2 chunk workers running
-    SeedFinder.seeds_on_paths_arrays (device search + locate + map +
-    emission). Returns (keys_per_s, seeds_per_s, hits) over the
+    """Sustained FULL pipeline: producer thread (parse + seed + index +
+    trie schedule + upload) feeding 2 chunk workers running BOTH query
+    routes — seeds_on_paths_arrays (device trie search + locate + map +
+    emission) AND seeds_off_paths_arrays (device frontier traversal
+    over the uncovered starting loci; the graph carries variant bubbles
+    off the indexed paths so the off-path route is load-bearing).
+    Returns (keys_per_s, seeds_per_s, hits, n_loci, off_hits) over the
     steady-state chunks (first chunk = warmup/compile, excluded)."""
     import queue
     import threading
@@ -92,17 +95,69 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
     from psi_tpu.records import Records
     from psi_tpu.seed_finder import SeedFinder
 
-    nodes = {i + 1: s for i, s in enumerate(strings)}
-    paths = [(f"ref{i+1}", [i + 1]) for i in range(len(strings))]
-    g = Graph.from_parts(nodes=nodes, edges=[], paths=paths)
+    # bubble variants hanging off each reference path: indexed paths
+    # cover the refs only, so every bubble contributes uncovered
+    # starting loci for the off-path traverser (HOT LOOP #2,
+    # ref: traverser_bfs.hpp:72-164)
+    rng_g = np.random.RandomState(99)
+    nodes = {}
+    edges = []
+    paths = []
+    nid = 0
+    for i, s in enumerate(strings):
+        # split each ref into segments with a variant bubble between
+        segs = max(len(s) // 50_000, 1)
+        seg_len = len(s) // segs
+        path_nodes = []
+        prev = None
+        for j in range(segs):
+            nid += 1
+            end = (j + 1) * seg_len if j + 1 < segs else len(s)
+            nodes[nid] = s[j * seg_len: end] or "A"
+            path_nodes.append(nid)
+            if prev is not None:
+                edges.append((prev, nid))
+                # alt allele between prev and this segment
+                nid += 1
+                nodes[nid] = "".join(
+                    rng_g.choice(list("ACGT"), size=int(k * 1.5))
+                )
+                edges.append((prev, nid))
+                edges.append((nid, path_nodes[-1]))
+            prev = path_nodes[-1]
+        paths.append((f"ref{i+1}", path_nodes))
+    g = Graph.from_parts(nodes=nodes, edges=edges, paths=paths)
     finder = SeedFinder(g, seed_len=k)
     t0 = time.monotonic()
     finder.create_path_index(n=1, patched=False)
+    finder.add_uncovered_loci()
+    n_loci = len(finder.get_starting_loci())
     print(
         f"# sustained: pindex build {time.monotonic()-t0:.1f}s; "
-        f"starting loci: {len(finder.get_starting_loci())}",
+        f"starting loci: {n_loci}",
         file=sys.stderr,
     )
+
+    # alt-crossing read contexts: ~2% of reads route through a bubble
+    # so the off-path traverser produces real hits
+    alt_ctx = []
+    for v in nodes:
+        if g.get_path_count() and not any(
+            v in pn for _, pn in paths
+        ):
+            # alt node: context = predecessor tail + alt + successor head
+            preds = [x for x, y in edges if y == v]
+            succs = [y for x, y in edges if x == v]
+            if preds and succs:
+                ctx = (
+                    nodes[preds[0]][-read_len // 2:]
+                    + nodes[v]
+                    + nodes[succs[0]][: read_len // 2]
+                )
+                if len(ctx) >= read_len:
+                    alt_ctx.append(ctx)
+        if len(alt_ctx) >= 64:
+            break
 
     rng = np.random.RandomState(7)
     path_len = len(strings[0])
@@ -118,6 +173,11 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 strings[s][p: p + read_len]
                 for s, p in zip(src, starts)
             ]
+            if alt_ctx:
+                for i in range(0, reads_per_chunk, 50):
+                    c = alt_ctx[int(rng.randint(len(alt_ctx)))]
+                    o = int(rng.randint(0, len(c) - read_len + 1))
+                    seqs[i] = c[o: o + read_len]
             names = [f"c{ci}r{i}" for i in range(reads_per_chunk)]
             chunk = Records(names, seqs, rec_offset=ci * reads_per_chunk)
             seeds = finder.get_seeds(chunk)
@@ -136,8 +196,11 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 return
             ci, seeds, index, nkeys = item
             arr = finder.seeds_on_paths_arrays(seeds, index)
+            off = finder.seeds_off_paths_arrays(seeds, index)
             done_q.put(
-                (ci, nkeys, index.size, 0 if arr is None else len(arr))
+                (ci, nkeys, index.size,
+                 0 if arr is None else len(arr),
+                 0 if off is None else len(off))
             )
 
     threading.Thread(target=producer, daemon=True).start()
@@ -145,7 +208,7 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         threading.Thread(target=worker, daemon=True).start()
 
     t_start = None
-    keys = seeds_n = hits = done = ended = 0
+    keys = seeds_n = hits = off_hits = done = ended = 0
     while ended < workers:
         item = done_q.get()
         if item is None:
@@ -163,15 +226,17 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         keys += item[1]
         seeds_n += item[2]
         hits += item[3]
+        off_hits += item[4]
     dt = time.monotonic() - t_start
     measured = done - 1
     print(
         f"# sustained: {measured} chunks in {dt:.2f}s "
         f"({dt/max(1,measured)*1e3:.0f} ms/chunk, {keys} keys, "
-        f"{seeds_n} seeds, {hits} hits)",
+        f"{seeds_n} seeds, {hits} on-path + {off_hits} off-path hits, "
+        f"{n_loci} loci/chunk traversed)",
         file=sys.stderr,
     )
-    return keys / dt, seeds_n / dt, hits
+    return keys / dt, seeds_n / dt, hits, n_loci, off_hits
 
 
 def main():
@@ -368,12 +433,12 @@ def main():
     # loop (~25-50 K k=20 patterns/s vs ~5 K; docs/BENCH_NOTES.md)
     cpp_baseline = host_rate * 8
     if sustained is not None:
-        keys_s, seeds_s, _ = sustained
+        keys_s, seeds_s, _, n_loci, off_hits = sustained
         result = {
             "metric": (
-                "onpath_sustained_throughput"
+                "sustained_throughput"
                 if on_tpu
-                else "onpath_sustained_throughput_cpu_fallback"
+                else "sustained_throughput_cpu_fallback"
             ),
             "value": round(keys_s, 1),
             "unit": "kmer_queries/s",
@@ -381,6 +446,8 @@ def main():
             "platform": "tpu" if on_tpu else "cpu",
             "device_kernel_rate": round(device_rate, 1),
             "seeds_per_s": round(seeds_s, 1),
+            "offpath_loci_per_chunk": n_loci,
+            "offpath_hits": off_hits,
             "baseline": "8x measured single-core NumPy loop "
                         "(C++ sdsl estimate, docs/BENCH_NOTES.md)",
         }
