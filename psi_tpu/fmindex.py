@@ -209,9 +209,6 @@ class FMIndex:
                 bwt = codes[(sa - 1) % n]
         elif bwt is None:
             bwt = np.zeros(0, dtype=np.uint8)
-        counts = np.bincount(codes, minlength=sigma).astype(np.int64)
-        C = np.zeros(sigma + 1, dtype=np.int64)
-        np.cumsum(counts, out=C[1:])
         # occ checkpoints: native one-pass scan, else per-symbol cumsum
         nblocks = (n + BLOCK - 1) // BLOCK
         occ = None
@@ -228,6 +225,13 @@ class FMIndex:
                 for c in range(sigma):
                     csum_c = np.cumsum(bwt == c)
                     occ[1:, c] = csum_c[block_ends]
+        # symbol counts from the occ table's last row (the BWT is a
+        # permutation of the text) — np.bincount on the uint8 codes
+        # would cast them to int64 internally, an 8 B/char transient
+        # that dominates peak RSS at genome scale
+        counts = occ[-1].astype(np.int64)
+        C = np.zeros(sigma + 1, dtype=np.int64)
+        np.cumsum(counts, out=C[1:])
         return FMIndex(codes, sa, bwt, C, occ, str_starts, lengths,
                        codemap=codemap, sigma=sigma)
 
