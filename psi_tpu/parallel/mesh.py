@@ -329,6 +329,14 @@ def sharded_traverse(
         put_global(sn, sharding), put_global(so, sharding),
         put_global(ni, sharding),
     )
+    if jax.process_count() > 1:
+        # DCN-spanning mesh: gather every process's loci-shard results
+        from jax.experimental import multihost_utils
+
+        li, lo, hi, nu, ov, ts = (
+            multihost_utils.process_allgather(a, tiled=True)
+            for a in (li, lo, hi, nu, ov, ts)
+        )
     li = np.asarray(li)
     # locus indices are shard-local: rebase to global locus ids
     li = li + (np.arange(D, dtype=np.int32) * per)[:, None]

@@ -129,6 +129,57 @@ def main():
         sharded_trie_search(mesh_d, sarr, ukeys, k)
     t_trie_warm = (time.monotonic() - t0) / 3
 
+    # --- the PRODUCTION SeedFinder pipeline on the DCN-spanning mesh ---
+    # (seeding -> prepare_onpath -> sharded on-path trie + loci-sharded
+    # off-path traversal -> hit emission), bit-identical to the
+    # single-device finder on every process
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    rng2 = np.random.RandomState(5)
+    seq = "".join(rng2.choice(list("ACGT"), size=3000))
+    g = Graph.from_parts(
+        nodes={1: seq[:1500], 2: seq[1500:],
+               3: "ACGTAGGTACGTTCGTACGATTAG"},
+        edges=[(1, 2), (1, 3), (3, 2)],
+        paths=[("ref", [1, 2])],
+    )
+    branch = (g.node_sequence(1)[-6:] + g.node_sequence(3)
+              + g.node_sequence(2)[:10])
+    reads = Records(
+        [f"r{i}" for i in range(32)] + ["b0"],
+        [seq[i * 61: i * 61 + 48] for i in range(32)] + [branch],
+    )
+    os.environ["PSI_STREAM"] = "1"
+
+    def run_finder(devices):
+        f = SeedFinder(g, seed_len=12, devices=devices)
+        f.create_path_index(n=1, patched=False)
+        f.add_uncovered_loci()
+        seeds = f.get_seeds(reads)
+        index = f.index_reads(seeds)
+        f.prepare_onpath(index)
+        return f, seeds, index
+
+    f_m, seeds_m, index_m = run_finder("auto")
+    assert f_m._get_mesh() is not None
+    t0 = time.monotonic()
+    hits_m = f_m.seeds_all_arrays(seeds_m, index_m)
+    t_pipeline = time.monotonic() - t0
+    f_1, seeds_1, index_1 = run_finder(1)
+    hits_1 = f_1.seeds_all_arrays(seeds_1, index_1)
+    key = ["node_id", "node_offset", "read_id", "read_offset",
+           "match_len", "gocc"]
+    pipeline_ok = bool(
+        np.array_equal(np.sort(hits_m, order=key),
+                       np.sort(hits_1, order=key))
+    ) and len(hits_m) > 0
+    t0 = time.monotonic()
+    for _ in range(3):
+        f_m.seeds_all_arrays(seeds_m, index_m)
+    t_pipeline_warm = (time.monotonic() - t0) / 3
+
     if pid == 0:
         with open(out, "w") as fh:
             json.dump(
@@ -142,10 +193,14 @@ def main():
                     "t_trie": t_trie,
                     "t_count_warm": t_count_warm,
                     "t_trie_warm": t_trie_warm,
+                    "pipeline_ok": pipeline_ok,
+                    "pipeline_hits": int(len(hits_m)),
+                    "t_pipeline": t_pipeline,
+                    "t_pipeline_warm": t_pipeline_warm,
                 },
                 fh,
             )
-    return 0 if (count_ok and trie_ok) else 1
+    return 0 if (count_ok and trie_ok and pipeline_ok) else 1
 
 
 if __name__ == "__main__":

@@ -52,3 +52,7 @@ def test_two_process_distributed(tmp_path):
     assert res["nproc"] == 2 and res["devices"] == 8
     assert res["count_ok"], "sharded count diverged from the global oracle"
     assert res["trie_ok"], "sharded trie search diverged from the oracle"
+    assert res["pipeline_ok"], (
+        "multi-process SeedFinder pipeline diverged from single-device"
+    )
+    assert res["pipeline_hits"] > 0
