@@ -478,6 +478,18 @@ class DistanceIndex:
         return out
 
     # --- serialization ------------------------------------------------------
+    @staticmethod
+    def _narrow(a: np.ndarray) -> np.ndarray:
+        """int32 on-disk form when the values fit (halves the artifact
+        and the loaded index at pan-genome scale; arithmetic in the
+        probes promotes back to int64)."""
+        if a.size and a.dtype == np.int64 and (
+            a.min() >= np.iinfo(np.int32).min
+            and a.max() <= np.iinfo(np.int32).max
+        ):
+            return a.astype(np.int32)
+        return a
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,
@@ -485,13 +497,13 @@ class DistanceIndex:
             dmax=np.int64(self.dmax),
             n_nodes=np.int64(self.n_nodes),
             mode=np.str_(self.mode),
-            sup=self.sup,
-            head=self.head,
-            tail=self.tail,
+            sup=self._narrow(self.sup),
+            head=self._narrow(self.head),
+            tail=self._narrow(self.tail),
             src_indptr=self.src_indptr,
-            dst=self.dst,
-            iv_lo=self.iv_lo,
-            iv_hi=self.iv_hi,
+            dst=self._narrow(self.dst),
+            iv_lo=self._narrow(self.iv_lo),
+            iv_hi=self._narrow(self.iv_hi),
         )
 
     @staticmethod
