@@ -593,14 +593,16 @@ def rank4_stream(
     """ranks for all 4 symbols at MONOTONE positions pos [M]
     (M a multiple of QTILE). Returns int32 [T, SLABS, 4, QROWS, WB].
 
-    Dispatch: payload fits the VMEM budget -> RESIDENT kernel (one DMA
-    per call; the fast path for <=10 Mbp indexes). Otherwise the
-    windowed ring kernels; flat=True uses the globally flat pipeline
+    Dispatch: the windowed ring kernels by default — measured on v5e
+    (r3 A/B, BENCH_NOTES) the fully VMEM-resident kernel is ~1.3x
+    SLOWER than the ring on dense sorted batches (dynamic VMEM window
+    addressing costs more than the DMAs it removes), so PSI_RESIDENT=1
+    is opt-in; flat=True uses the globally flat pipeline
     (PSI_FLAT_RING=0 reverts to the per-slab ring)."""
     import os
 
     if arrays.payload8 is not None and os.environ.get(
-        "PSI_RESIDENT", "1"
+        "PSI_RESIDENT", "0"
     ) not in ("", "0"):
         return _rank4_resident_call(arrays, pos, interpret)
     if flat is None:

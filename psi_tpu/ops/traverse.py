@@ -62,10 +62,34 @@ class SeedsArrays(NamedTuple):
     size: int          # V (static)
 
 
+@jax.jit
+def _occ_from_planes(planes: jax.Array) -> jax.Array:
+    """Rank checkpoints derived ON DEVICE from the plane words (an
+    exclusive cumsum of per-block popcounts): the occ table is 2x the
+    plane payload, so deriving it saves 2/3 of the per-chunk seeds
+    upload. Exact for every consulted row: occ[b] is only ever read
+    for b <= V // BLOCK, and blocks before that are full (pad bits,
+    which read as char 0, only affect rows past the last consulted one)."""
+    p0 = planes[..., 0]
+    p1 = planes[..., 1]
+    outs = []
+    for c in range(4):
+        m = (p0 if c & 1 else ~p0) & (p1 if c >> 1 else ~p1)
+        pc = jax.lax.population_count(m)
+        csum = jnp.cumsum(pc, axis=1)
+        outs.append(
+            jnp.concatenate(
+                [jnp.zeros_like(csum[:, :1]), csum[:, :-1]], axis=1
+            )
+        )
+    return jnp.stack(outs, axis=-1).astype(jnp.int32)
+
+
 def seeds_to_device(index: SeedsIndex) -> SeedsArrays:
+    planes = jnp.asarray(index.planes)
     return SeedsArrays(
-        occ=jnp.asarray(index.occ),
-        planes=jnp.asarray(index.planes),
+        occ=_occ_from_planes(planes),
+        planes=planes,
         size=index.size,
     )
 
@@ -218,6 +242,36 @@ def traverse_device(
         )
     )
     return locus_idx, lo, hi, n_used, overflow, tstats
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap", "max_mm"))
+def traverse_device_packed(
+    g: GraphArrays,
+    seeds: SeedsArrays,
+    start_nodes: jax.Array,
+    start_offs: jax.Array,
+    n_init: jax.Array,
+    k: int,
+    cap: int,
+    max_mm: int = 0,
+):
+    """traverse_device with the outputs packed into ONE int32 vector
+    [3*cap + 5] = (locus_idx | lo | hi | n_used, overflow, tstats[3]):
+    a single dispatch + a single fetch instead of six round trips —
+    over a tunneled chip the fetches were most of the off-path cost."""
+    if max_mm:
+        li, lo, hi, nu, ov = traverse_device_approx(
+            g, seeds, start_nodes, start_offs, n_init, k, cap, max_mm
+        )
+        ts = jnp.zeros(3, dtype=jnp.int32)
+    else:
+        li, lo, hi, nu, ov, ts = traverse_device(
+            g, seeds, start_nodes, start_offs, n_init, k, cap
+        )
+    tail = jnp.concatenate(
+        [nu[None].astype(jnp.int32), ov[None].astype(jnp.int32), ts]
+    )
+    return jnp.concatenate([li, lo, hi, tail])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap", "max_mm"))

@@ -1255,50 +1255,65 @@ class SeedFinder:
             return self._traverse_sharded_columns(index, g, sa, mesh)
         cap = max(1 << 15, 1 << (n - 1).bit_length())
         while True:
-            start_nodes = np.zeros(cap, dtype=np.int32)
-            start_offs = np.zeros(cap, dtype=np.int32)
-            for i, l in enumerate(self.starting_loci):
-                start_nodes[i] = l.node_id()
-                start_offs[i] = l.offset()
-            if self.seed_mismatches:
-                locus_idx, lo, hi, n_used, overflow = (
-                    trav.traverse_device_approx(
-                        g, sa,
-                        jnp.asarray(start_nodes), jnp.asarray(start_offs),
-                        jnp.asarray(n, dtype=jnp.int32),
-                        self.seed_len, cap, self.seed_mismatches,
-                    )
-                )
-            else:
-                (locus_idx, lo, hi, n_used, overflow,
-                 tstats_dev) = trav.traverse_device(
-                    g, sa,
-                    jnp.asarray(start_nodes), jnp.asarray(start_offs),
-                    jnp.asarray(n, dtype=jnp.int32),
-                    self.seed_len, cap,
-                )
-            if bool(overflow):
+            sn_d, so_d = self._get_loci_device(cap)
+            # one dispatch + ONE fetch: the packed output vector
+            # replaces six per-array round trips (over a tunneled chip
+            # the fetches were most of the off-path per-chunk cost)
+            packed = np.asarray(trav.traverse_device_packed(
+                g, sa, sn_d, so_d,
+                jnp.asarray(n, dtype=jnp.int32),
+                self.seed_len, cap, self.seed_mismatches,
+            ))
+            locus_idx = packed[:cap]
+            lo = packed[cap: 2 * cap]
+            hi = packed[2 * cap: 3 * cap]
+            n_used, overflow = int(packed[3 * cap]), int(packed[3 * cap + 1])
+            tstats_dev = packed[3 * cap + 2:]
+            if overflow:
                 cap *= 2
                 continue
             if not self.seed_mismatches:
                 # only account the final (non-overflowing) run's counters
-                gd, ended, ended_len = (
-                    int(v) for v in np.asarray(tstats_dev)
-                )
+                gd, ended, ended_len = (int(v) for v in tstats_dev)
                 ts = self.stats.get_this_thread_stats()
                 ts.add_traversal(
-                    gd, ended + int(n_used),
-                    ended_len + int(n_used) * self.seed_len,
+                    gd, ended + n_used,
+                    ended_len + n_used * self.seed_len,
                 )
             break
-        n_used = int(n_used)
         return trav.traverse_columnar_from_states(
             index, self.starting_loci,
-            np.asarray(locus_idx)[:n_used],
-            np.asarray(lo)[:n_used],
-            np.asarray(hi)[:n_used],
+            locus_idx[:n_used],
+            lo[:n_used],
+            hi[:n_used],
             self.seed_len,
         )
+
+    def _get_loci_device(self, cap: int):
+        """Device-resident starting loci, padded to `cap` (the loci are
+        fixed per finder — upload once per cap bucket, not per chunk)."""
+        import jax.numpy as jnp
+
+        n = len(self.starting_loci)
+        cache = getattr(self, "_loci_dev", None)
+        if cache is None or cache.get("n") != n:
+            sn = np.zeros(n, dtype=np.int32)
+            so = np.zeros(n, dtype=np.int32)
+            for i, l in enumerate(self.starting_loci):
+                sn[i] = l.node_id()
+                so[i] = l.offset()
+            cache = {"n": n, "np": (sn, so), "dev": {}}
+            self._loci_dev = cache
+        dev = cache["dev"].get(cap)
+        if dev is None:
+            sn, so = cache["np"]
+            snp = np.zeros(cap, dtype=np.int32)
+            sop = np.zeros(cap, dtype=np.int32)
+            snp[:n] = sn
+            sop[:n] = so
+            dev = (jnp.asarray(snp), jnp.asarray(sop))
+            cache["dev"][cap] = dev
+        return dev
 
     def _traverse_sharded_columns(self, index: SeedsIndex, g, sa, mesh):
         """Off-path traversal data-parallel over starting loci: loci

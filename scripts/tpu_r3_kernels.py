@@ -97,6 +97,15 @@ VARIANTS = [
     ("resident", {"PSI_RESIDENT": "1"}),
     ("flat_ring", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1"}),
     ("slab_ring", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "0"}),
+    # plain wire isolates the KERNELS (the packed/mask schedule decode
+    # adds ~80 ms/batch of XLA unpack work that masks kernel deltas)
+    ("resident_plain", {"PSI_RESIDENT": "1", "PSI_TRIE_PACK": "0"}),
+    ("flat_plain", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                    "PSI_TRIE_PACK": "0"}),
+    ("slab_plain", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "0",
+                    "PSI_TRIE_PACK": "0"}),
+    ("mask_wire", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                   "PSI_TRIE_WIRE": "mask"}),
 ]
 
 
