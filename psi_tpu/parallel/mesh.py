@@ -141,8 +141,12 @@ def prepare_trie_sharded(
     plans = []
     sizes = []
     for c, sz in chunks():
+        # wire pinned to the materialized formats: the in-device mask
+        # derivation is single-plan for now (PSI_TRIE_WIRE=mask applies
+        # to the unsharded chain route only)
         plans.append(
-            fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False)
+            fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False,
+                            wire="packed")
         )
         sizes.append(sz)
     if any(p.poff is None for p in plans) and any(
@@ -151,7 +155,7 @@ def prepare_trie_sharded(
         # mixed wire formats across shards: rebuild all plain
         plans = [
             fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False,
-                            pack=False)
+                            pack=False, wire="plain")
             for c, _ in chunks()
         ]
     packed = plans[0].poff is not None
