@@ -126,3 +126,33 @@ def test_device_traverser_random_graphs(seed):
         trav.traverse(graph, g, sa, index, loci, k, cap=len(loci) + 1)
     )
     assert dev2 == host
+
+
+def test_device_occ_matches_host_consulted_rows():
+    """seeds_to_device derives occ from the plane words on device; it
+    must equal the host-built table on every CONSULTED row (b <= V//32
+    per depth; later rows may differ by pad bits and are never read)."""
+    import numpy as np
+
+    from psi_tpu.ops import traverse as trav
+    from psi_tpu.records import Records, SeedSet, seeding
+
+    rng = np.random.RandomState(12)
+    for n_reads, L in ((7, 40), (33, 61)):
+        reads = Records(
+            [f"r{i}" for i in range(n_reads)],
+            ["".join(rng.choice(list("ACGT"), size=L))
+             for _ in range(n_reads)],
+        )
+        seeds = seeding(reads, 12, 12)
+        from psi_tpu.records import SeedsIndex
+
+        index = SeedsIndex(seeds)
+        sa = trav.seeds_to_device(index)
+        dev = np.asarray(sa.occ)
+        host = index.occ
+        V = index.size
+        b_max = V // 32
+        np.testing.assert_array_equal(
+            dev[:, : b_max + 1], host[:, : b_max + 1]
+        )
