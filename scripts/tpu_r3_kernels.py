@@ -56,14 +56,20 @@ prep_s = time.time() - t0
 def force(x):
     return int(np.asarray(jnp.sum(x)))
 
+masked = prep.mask is not None
 packed = prep.poff is not None
+sched = prep.mask if masked else (prep.poff if packed else prep.parents)
+chars = sched if masked else (prep.charpk if packed else prep.chars)
+ftab_tab = (
+    jnp.asarray(ftab.astype(np.int32))
+    if masked and prep.ftab_rows is not None else None
+)
 def run():
     return fm_trie._trie_device(
-        arrays,
-        prep.poff if packed else prep.parents,
-        prep.charpk if packed else prep.chars,
+        arrays, sched, chars,
         use_pallas=True, lo0=prep.lo0, hi0=prep.hi0,
-        pbase=prep.pbase, packed=packed,
+        pbase=prep.pbase, packed=packed, masked=masked,
+        ftab_tab=ftab_tab, ftab_rows=prep.ftab_rows,
     )
 
 t0 = time.time()
