@@ -1249,21 +1249,53 @@ class SeedFinder:
             return None
         g = self._get_graph_arrays()
         sa = trav.seeds_to_device(index)
-        n = len(self.starting_loci)
         mesh = self._get_mesh()
         if mesh is not None:
             return self._traverse_sharded_columns(index, g, sa, mesh)
-        cap = max(1 << 15, 1 << (n - 1).bit_length())
+        cap = max(1 << 15, 1 << (len(self.starting_loci) - 1).bit_length())
+        pending = self._traverse_dispatch(index, g, sa, cap)
+        return self._traverse_collect(index, pending)
+
+    def _traverse_dispatch(self, index: SeedsIndex, g=None, sa=None,
+                           cap: int | None = None):
+        """Issue the off-path traversal asynchronously (one dispatch,
+        ONE packed fetch later — over a tunneled chip the six per-array
+        round trips were most of the off-path per-chunk cost). Returns
+        an opaque (device array, cap, g, sa) handle for
+        _traverse_collect, or None when off-path does not apply."""
+        import jax.numpy as jnp
+
+        from psi_tpu.ops import traverse as trav
+
+        if not self.starting_loci or index.size == 0:
+            return None
+        if g is None:
+            g = self._get_graph_arrays()
+        if sa is None:
+            sa = trav.seeds_to_device(index)
+        if cap is None:
+            cap = max(
+                1 << 15, 1 << (len(self.starting_loci) - 1).bit_length()
+            )
+        n = len(self.starting_loci)
+        sn_d, so_d = self._get_loci_device(cap)
+        packed_d = trav.traverse_device_packed(
+            g, sa, sn_d, so_d,
+            jnp.asarray(n, dtype=jnp.int32),
+            self.seed_len, cap, self.seed_mismatches,
+        )
+        return (packed_d, cap, g, sa)
+
+    def _traverse_collect(self, index: SeedsIndex, pending):
+        """Fetch a _traverse_dispatch result (retrying with a doubled
+        state cap on overflow) and assemble the columnar survivors."""
+        from psi_tpu.ops import traverse as trav
+
+        if pending is None:
+            return None
+        packed_d, cap, g, sa = pending
         while True:
-            sn_d, so_d = self._get_loci_device(cap)
-            # one dispatch + ONE fetch: the packed output vector
-            # replaces six per-array round trips (over a tunneled chip
-            # the fetches were most of the off-path per-chunk cost)
-            packed = np.asarray(trav.traverse_device_packed(
-                g, sa, sn_d, so_d,
-                jnp.asarray(n, dtype=jnp.int32),
-                self.seed_len, cap, self.seed_mismatches,
-            ))
+            packed = np.asarray(packed_d)
             locus_idx = packed[:cap]
             lo = packed[cap: 2 * cap]
             hi = packed[2 * cap: 3 * cap]
@@ -1271,6 +1303,9 @@ class SeedFinder:
             tstats_dev = packed[3 * cap + 2:]
             if overflow:
                 cap *= 2
+                packed_d, cap, g, sa = self._traverse_dispatch(
+                    index, g, sa, cap
+                )
                 continue
             if not self.seed_mismatches:
                 # only account the final (non-overflowing) run's counters
@@ -1363,28 +1398,52 @@ class SeedFinder:
             self.seed_len,
         )
 
+    @staticmethod
+    def _off_cols_to_arrays(seeds: SeedSet, cols):
+        if cols is None:
+            return None
+        nodes, offs, seed_sel, goccs, lens = cols
+        out = np.empty(len(nodes), dtype=SEED_DTYPE)
+        out["node_id"] = nodes
+        out["node_offset"] = offs
+        out["read_id"] = seeds.rec_offset + seeds.seedmap[seed_sel, 0]
+        out["read_offset"] = seeds.seedmap[seed_sel, 1]
+        out["match_len"] = lens
+        out["gocc"] = goccs
+        return out
+
     def seeds_off_paths_arrays(self, seeds: SeedSet, index: SeedsIndex):
         """Columnar off-path hits (structured SEED_DTYPE array)."""
         with self.stats.timeit_ts("seeds-off-path"):
-            cols = self._traverse_device_columns(index)
-            if cols is None:
-                return None
-            nodes, offs, seed_sel, goccs, lens = cols
-            out = np.empty(len(nodes), dtype=SEED_DTYPE)
-            out["node_id"] = nodes
-            out["node_offset"] = offs
-            out["read_id"] = seeds.rec_offset + seeds.seedmap[seed_sel, 0]
-            out["read_offset"] = seeds.seedmap[seed_sel, 1]
-            out["match_len"] = lens
-            out["gocc"] = goccs
-            return out
+            return self._off_cols_to_arrays(
+                seeds, self._traverse_device_columns(index)
+            )
 
     def seeds_all_arrays(self, seeds: SeedSet, index: SeedsIndex):
-        """Both routes, columnar; the bulk path used by the CLI."""
-        parts = [
-            self.seeds_on_paths_arrays(seeds, index),
-            self.seeds_off_paths_arrays(seeds, index),
-        ]
+        """Both routes, columnar; the bulk path used by the CLI.
+
+        The off-path traversal is DISPATCHED first (async) and fetched
+        after the on-path route completes, so its device time overlaps
+        the on-path transfers and host joins — one chunk pays
+        max(on-path, off-path) device time, not the sum."""
+        pending = None
+        if (
+            self.starting_loci and index.size
+            and self._get_mesh() is None
+        ):
+            with self.stats.timeit_ts("seeds-off-path"):
+                pending = self._traverse_dispatch(index)
+        parts = [self.seeds_on_paths_arrays(seeds, index)]
+        if pending is not None:
+            with self.stats.timeit_ts("seeds-off-path"):
+                tstats = self.stats.get_this_thread_stats()
+                tstats.set_progress(ProgressEnum.FIND_OFF_PATHS)
+                parts.append(self._off_cols_to_arrays(
+                    seeds, self._traverse_collect(index, pending)
+                ))
+                tstats.set_locus_idx(len(self.starting_loci))
+        else:
+            parts.append(self.seeds_off_paths_arrays(seeds, index))
         parts = [p for p in parts if p is not None and len(p)]
         self.stats.get_this_thread_stats().inc_chunks_done()
         if not parts:
