@@ -75,12 +75,21 @@ def run():
 t0 = time.time()
 lo, hi = run(); force(hi)
 compile_s = time.time() - t0
-iters = 5
+# dispatch+fetch baseline: a tiny add with an 8-byte fetch measures the
+# tunnel round-trip paid by every timing iteration (CLAUDE.md method)
+tiny = jnp.ones(8, dtype=jnp.int32)
+_ = int(np.asarray(jnp.sum(tiny + 1)))
+t0 = time.time()
+for _ in range(10):
+    _ = int(np.asarray(jnp.sum(tiny + 1)))
+base_ms = (time.time() - t0) / 10 * 1e3
+iters = 10
 t0 = time.time()
 for _ in range(iters):
     lo, hi = run(); force(hi - lo)
 dt = (time.time() - t0) / iters
 rate = len(keys_u) / dt
+dev_ms = max(dt * 1e3 - base_ms, 0.0)
 
 # parity vs XLA dense route (on a verified subsample to bound fetch time)
 lo = np.asarray(lo)[prep.leaf_perm]
@@ -94,6 +103,9 @@ ok = bool((h1 - l1 == hi[sel] - lo[sel]).all()
           and (l1[h1 > l1] == lo[sel][h1 > l1]).all())
 out = {"variant": variant, "keys": len(keys_u), "prep_s": round(prep_s, 2),
        "compile_s": round(compile_s, 1), "ms_per_batch": round(dt * 1e3, 1),
+       "dispatch_baseline_ms": round(base_ms, 1),
+       "device_ms": round(dev_ms, 1),
+       "device_kmers_per_s": round(len(keys_u) / max(dev_ms / 1e3, 1e-9), 1),
        "kmers_per_s": round(rate, 1), "parity": ok,
        "slabs": fm_stream.SLABS, "ring": fm_stream.RING}
 print("RESULT " + json.dumps(out))
