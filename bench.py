@@ -466,6 +466,12 @@ def main():
                         "(C++ sdsl estimate, docs/BENCH_NOTES.md)",
         }
 
+    # persist the chip result FIRST: the CPU comparison below may
+    # replace the headline, but the last-good TPU record must be the
+    # TPU measurement
+    if result.get("platform", "").startswith("tpu"):
+        save_last_good(result)
+
     # the hot kernel is random-gather-bound; on this relay the local CPU
     # XLA dense path can beat the remote chip — measure both and report
     # the best, honestly labeled (child run on CPU when we ran on TPU)
@@ -497,13 +503,14 @@ def main():
         except Exception as exc:  # comparison is best-effort
             print(f"# cpu comparison failed: {exc}", file=sys.stderr)
 
-    if result.get("platform", "").startswith("tpu"):
-        save_last_good(result)
-    elif not os.environ.get("PSI_BENCH_CHILD"):
+    if not result.get("platform", "").startswith("tpu") and not os.environ.get(
+        "PSI_BENCH_CHILD"
+    ):
         last = load_last_good()
         if last is not None:
-            # tunnel down at snapshot time: carry the most recent real
-            # chip measurement alongside, clearly labeled with its date
+            # tunnel down at snapshot time (or the CPU comparison won):
+            # carry the most recent real chip measurement alongside,
+            # clearly labeled with its timestamp
             result["last_good_tpu"] = last
 
     print(json.dumps(result))
