@@ -124,7 +124,18 @@ VARIANTS = [
                     "PSI_TRIE_PACK": "0"}),
     ("mask_wire", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
                    "PSI_TRIE_WIRE": "mask"}),
+    # grid-step size sweep (per-step Mosaic overhead vs VMEM)
+    ("slab16", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                "PSI_SLABS": "16"}),
+    ("slab32", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                "PSI_SLABS": "32"}),
 ]
+
+# PSI_AB_ONLY=name1,name2 filters the sweep (reruns are per-variant)
+_only = os.environ.get("PSI_AB_ONLY")
+if _only:
+    keep = set(_only.split(","))
+    VARIANTS = [v for v in VARIANTS if v[0] in keep]
 
 
 def probe() -> bool:

@@ -138,3 +138,26 @@ def test_env_devices_selection(monkeypatch):
     monkeypatch.setenv("PSI_DEVICES", "1")
     finder2 = SeedFinder(g, seed_len=12)
     assert finder2._get_mesh() is None
+
+
+def test_sharded_trie_plain_wire(monkeypatch):
+    """uint16-overflow fallback: the sharded route's plain-format
+    branch must match the packed default bit-exactly."""
+    import numpy as np
+
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops import fm_stream
+    from psi_tpu.parallel.mesh import device_mesh, sharded_trie_search
+
+    rng = np.random.RandomState(23)
+    s = "".join(rng.choice(list("ACGT"), size=60_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    sarr = fm_stream.build_stream_arrays(fm)
+    k = 12
+    keys = np.unique(rng.randint(0, 4 ** k, size=3000).astype(np.uint64))
+    mesh = device_mesh(jax.device_count())
+    lo1, hi1 = sharded_trie_search(mesh, sarr, keys, k)
+    monkeypatch.setenv("PSI_TRIE_PACK", "0")
+    lo2, hi2 = sharded_trie_search(mesh, sarr, keys, k)
+    np.testing.assert_array_equal(hi1 - lo1, hi2 - lo2)
+    np.testing.assert_array_equal(lo1[hi1 > lo1], lo2[hi1 > lo1])
