@@ -159,6 +159,31 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
     return out
 
 
+def _delta_saturate(d: np.ndarray):
+    """Split non-negative int64 deltas into a uint8 array plus (idx,
+    val) corrections for entries > 255 (val = true - 255)."""
+    assert (d >= 0).all()
+    big = np.nonzero(d > 255)[0].astype(np.int64)
+    val = (d[big] - 255).astype(np.int64)
+    return np.minimum(d, 255).astype(np.uint8), big, val
+
+
+def _pad_exc(idx: np.ndarray, val: np.ndarray, npad: int,
+             width: int | None = None) -> np.ndarray:
+    """Pack scatter corrections as int32 [2, E], E a power of two
+    (bounds compiled shapes); padding rows use idx=npad, dropped by the
+    device's mode="drop" scatter."""
+    E = 8
+    target = max(width or 0, len(idx), 1)
+    while E < target:
+        E *= 2
+    out = np.full((2, E), npad, dtype=np.int32)
+    out[0, : len(idx)] = idx
+    out[1] = 0
+    out[1, : len(val)] = val
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cap"))
 def _expand_locate_device(
     sa: jax.Array,          # int32 [n] dense suffix array
@@ -202,15 +227,18 @@ def _expand_locate_device(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "use_pallas", "interpret", "packed", "with_counts", "masked"
+        "use_pallas", "interpret", "packed", "with_counts", "masked",
+        "delta_wire", "mask_derive",
     ),
 )
 def _trie_device(
     arrays: StreamArrays,
     parents: jax.Array,   # int32 [levels, Npad]; packed: uint16 poff;
                           # masked: uint8 [levels, Npad//2] 4-bit masks
+                          # delta_wire: uint8 [levels, Npad] gap deltas
     chars: jax.Array,     # int32 [levels, Npad]; packed: int32 charpk;
                           # masked: unused (pass parents again)
+                          # delta_wire: int32 [levels, 8] dmeta
     use_pallas: bool = False,
     interpret: bool = False,
     lo0: jax.Array | None = None,   # optional ftab-seeded frontier
@@ -221,10 +249,31 @@ def _trie_device(
     masked: bool = False,       # mask wire format (in-device derive)
     ftab_tab: jax.Array | None = None,   # int32 [R, 2] device-resident ftab
     ftab_rows: jax.Array | None = None,  # int32 [Npad] frontier row ids
+    delta_wire: bool = False,   # delta wire format (cumsum derive)
+    dexc: jax.Array | None = None,       # int32 [levels, 2, E]
+    row_delta: jax.Array | None = None,  # uint8 [Npad]
+    row_exc: jax.Array | None = None,    # int32 [2, E2]
+    mask_derive: str = "sort",  # mask wire select: "sort" | "search"
 ):
     n = arrays.n
     Npad = parents.shape[1] * (2 if masked else 1)
-    if ftab_tab is not None and ftab_rows is not None:
+    if ftab_tab is not None and row_delta is not None:
+        # delta wire: the ASCENDING frontier-row set is reconstructed
+        # by one cumsum (row[0] arrives as the idx-0 correction), then
+        # put in pattern order by sorting on the digit-reversed values
+        rd = row_delta.astype(jnp.int32)
+        rd = rd.at[row_exc[0]].add(row_exc[1], mode="drop")
+        v = jnp.cumsum(rd)
+        fp_lvl = (int(ftab_tab.shape[0]).bit_length() - 1) // 2
+        r = jnp.zeros_like(v)
+        x = v
+        for _ in range(fp_lvl):
+            r = (r << 2) | (x & 3)
+            x = x >> 2
+        _, rows = jax.lax.sort((r, v), num_keys=1, is_stable=True)
+        lo0 = ftab_tab[rows, 0]
+        hi0 = ftab_tab[rows, 1]
+    elif ftab_tab is not None and ftab_rows is not None:
         # seed the frontier by an on-device ftab gather: uploads one
         # int32 row-id array instead of the two lo0/hi0 arrays
         lo0 = ftab_tab[ftab_rows, 0]
@@ -235,6 +284,29 @@ def _trie_device(
         hi0 = jnp.full(Npad, n, dtype=jnp.int32)
 
     def unpack(xs):
+        if delta_wire:
+            # delta wire format: parent[t] = first_parent[seg(t)] +
+            # cumsum(d)[t] - cumsum(d)[seg_start(t)]; char = seg + 1.
+            # No select/searchsorted — the whole derive is one cumsum,
+            # one small scatter-add and three broadcast compares.
+            dl, meta, ex = xs
+            d = dl.astype(jnp.int32)
+            d = d.at[ex[0]].add(ex[1], mode="drop")
+            cs = jnp.cumsum(d)
+            t = jnp.arange(Npad, dtype=jnp.int32)
+            seg = (
+                (t >= meta[1]).astype(jnp.int32)
+                + (t >= meta[2]).astype(jnp.int32)
+                + (t >= meta[3]).astype(jnp.int32)
+            )
+            csat = cs[jnp.clip(meta[:4], 0, Npad - 1)]
+
+            def pick(tab):
+                x = jnp.where(seg == 0, tab[0], tab[1])
+                x = jnp.where(seg == 2, tab[2], x)
+                return jnp.where(seg == 3, tab[3], x)
+
+            return pick(meta[4:8]) + cs - pick(csat), seg + 1
         if masked:
             # mask wire format: schedule derived in-device from 4-bit
             # parent masks (bit c-1 set = parent has a c-child). Child
@@ -247,11 +319,28 @@ def _trie_device(
             bits = (
                 nib[None, :] >> jnp.arange(4, dtype=jnp.int32)[:, None]
             ) & 1
-            cs = jnp.cumsum(bits.reshape(-1), dtype=jnp.int32)
-            total = cs[-1]
+            bflat = bits.reshape(-1)
             t = jnp.arange(Npad, dtype=jnp.int32)
-            tq = jnp.minimum(t + 1, jnp.maximum(total, 1))
-            f = jnp.searchsorted(cs, tq, side="left").astype(jnp.int32)
+            if mask_derive == "sort":
+                # select of set bits via ONE stable int32 sort: set-bit
+                # positions keep their iota, clear bits are pushed past
+                # 4*Npad, so the ascending sort's first `total` entries
+                # ARE the set-bit positions in order (searchsorted's
+                # ~21 serialized gather passes measured ~80 ms/level
+                # on v5e; a single sort is the cheaper select)
+                M4 = 4 * Npad
+                key = jnp.arange(M4, dtype=jnp.int32) + (1 - bflat) * M4
+                f_all = jax.lax.sort(key)[:Npad]
+                total = jnp.sum(bflat)
+                last = f_all[jnp.clip(total - 1, 0, Npad - 1)]
+                f = jnp.where(t < total, f_all, last)
+            else:
+                cs = jnp.cumsum(bflat, dtype=jnp.int32)
+                total = cs[-1]
+                tq = jnp.minimum(t + 1, jnp.maximum(total, 1))
+                f = jnp.searchsorted(cs, tq, side="left").astype(
+                    jnp.int32
+                )
             return f % Npad, f // Npad + 1
         if not packed:
             parent, c = xs
@@ -267,7 +356,9 @@ def _trie_device(
         ).reshape(-1) + 1
         return parent, c
 
-    if masked:
+    if delta_wire:
+        xs = (parents, chars, dexc)   # (delta, dmeta, dexc)
+    elif masked:
         xs = (parents,)
     elif packed:
         xs = (parents, pbase, chars)
@@ -351,6 +442,15 @@ def _frontier_at(keys: np.ndarray, k: int, p: int):
 PSLAB = 1024  # parent-rebase slab (children per uint16-offset window)
 
 
+def _mask_derive() -> str:
+    """Mask-wire select strategy (static jit arg): one stable sort
+    (default; measured cheaper than searchsorted's serialized gather
+    passes on v5e) or the searchsorted form (PSI_MASK_DERIVE=search)."""
+    import os
+
+    return os.environ.get("PSI_MASK_DERIVE", "sort")
+
+
 class PreparedTrie(NamedTuple):
     """Device-ready trie plan: padded per-level schedules (+ optional
     ftab-seeded frontier). Building this is the host-side critical-path
@@ -385,6 +485,27 @@ class PreparedTrie(NamedTuple):
     #: on-device ftab seeding: int32 [Npad] frontier row ids (replaces
     #: the lo0/hi0 upload when the ftab table is device-resident)
     ftab_rows: jax.Array | None = None
+    #: delta wire format: uint8 [levels, Npad] per-child parent-gap
+    #: deltas. Children are c-major with STRICTLY INCREASING parents
+    #: per char segment, so parent[t] = first_parent[seg] +
+    #: cumsum(delta)[t] - cumsum(delta)[seg_start]; the in-device
+    #: derive is ONE cumsum + three compares per level (no
+    #: searchsorted/select — the cost that made the mask wire a net
+    #: loss on v5e). 1 B/child vs 0.5 B mask, but derive ~2 ms/level
+    #: instead of ~80 ms.
+    delta: jax.Array | None = None
+    #: int32 [levels, 8]: per level seg_starts[4] (child slot where
+    #: char segment c begins; Npad when empty) + first_parent[4]
+    dmeta: jax.Array | None = None
+    #: int32 [levels, 2, E]: (idx, val) scatter-add corrections for
+    #: deltas that saturated uint8 (val = true_delta - 255); idx=Npad
+    #: padding is dropped by the device scatter
+    dexc: jax.Array | None = None
+    #: uint8 [Npad] ftab frontier-row gap deltas (rows are strictly
+    #: increasing; row[0] arrives as the idx-0 exception)
+    row_delta: jax.Array | None = None
+    #: int32 [2, E2] row-delta corrections (incl. the absolute row[0])
+    row_exc: jax.Array | None = None
 
 
 def prepare(
@@ -403,9 +524,11 @@ def prepare(
     common width across shards); `to_device=False` keeps the arrays as
     NumPy for the caller to stack/place (sharded route); `pack`
     overrides the PSI_TRIE_PACK env choice; `wire` picks the wire
-    format explicitly: "mask" ships 4-bit parent masks + frontier row
-    ids (~0.5 B/child, schedule derived in-device — smallest transfer,
-    PSI_TRIE_WIRE=mask), "packed"/"plain" the materialized schedules."""
+    format explicitly: "delta" ships uint8 parent-gap deltas (~1 B/
+    child; in-device derive is ONE cumsum per level — the sustained-
+    route default for tunneled chips), "mask" 4-bit parent masks
+    (~0.5 B/child, but the derive needs a select — sort/searchsorted),
+    "packed"/"plain" the materialized schedules."""
     import os
 
     if wire is None:
@@ -426,11 +549,30 @@ def prepare(
     lo0 = hi0 = None
     put = jnp.asarray if to_device else np.asarray
     ftab_rows = None
+    row_delta = row_exc = None
     if sched.frontier_level:
         start = p
         if wire == "mask":
             rows = sched.frontier_rows.astype(np.int32)
             ftab_rows = put(_pad_level(rows, Npad, int(rows[-1])))
+        elif wire == "delta":
+            # frontier rows arrive in PATTERN (digit-reversed) order;
+            # deltas only work ascending, so ship the sorted row set
+            # and recover the pattern permutation on device (digit
+            # reverse + one sort). Padding = 4**p - 1: its reversed
+            # digits are the maximum, so pads sort last and real rows
+            # keep slots [0, n_frontier) (stable sort breaks the tie
+            # with a real trailing all-T row in favor of the real one).
+            rows = np.sort(sched.frontier_rows.astype(np.int64))
+            rows_pad = _pad_level(rows, Npad, 4 ** p - 1)
+            rd = np.zeros(Npad, dtype=np.int64)
+            np.subtract(rows_pad[1:], rows_pad[:-1], out=rd[1:])
+            d8, idx, val = _delta_saturate(rd)
+            # absolute row[0] rides as the idx-0 exception
+            idx = np.concatenate([[0], idx])
+            val = np.concatenate([[int(rows_pad[0])], val])
+            row_delta = put(d8)
+            row_exc = put(_pad_exc(idx, val, Npad))
         else:
             ranges = ftab[sched.frontier_rows]       # pattern order
             lo0 = put(_pad_level(
@@ -439,6 +581,39 @@ def prepare(
             hi0 = put(_pad_level(
                 ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
             ))
+    if wire == "delta":
+        levels = k - start
+        delta = np.zeros((levels, Npad), dtype=np.uint8)
+        dmeta = np.zeros((levels, 8), dtype=np.int32)
+        excs = []
+        for jj in range(levels):
+            p_arr = sched.parents[start + jj].astype(np.int64)
+            c_arr = sched.chars[start + jj]
+            p_pad = _pad_level(p_arr, Npad, max(int(p_arr[-1]), 0))
+            c_pad = _pad_level(c_arr, Npad, int(c_arr[-1]))
+            ss = np.searchsorted(c_pad, np.arange(1, 5, dtype=c_pad.dtype))
+            d = np.zeros(Npad, dtype=np.int64)
+            np.subtract(p_pad[1:], p_pad[:-1], out=d[1:])
+            # parents increase strictly WITHIN a char segment; the
+            # segment-boundary (possibly negative) deltas are zeroed
+            # and the device restarts each segment at first_parent
+            d[ss[ss < Npad]] = 0
+            d8, idx, val = _delta_saturate(d)
+            delta[jj] = d8
+            excs.append((idx, val))
+            dmeta[jj, :4] = np.minimum(ss, Npad)
+            dmeta[jj, 4:] = p_pad[np.minimum(ss, Npad - 1)]
+        width = max(8, max(len(i) for i, _ in excs))
+        dexc = np.stack([
+            _pad_exc(i, v, Npad, width) for i, v in excs
+        ])
+        return PreparedTrie(
+            parents=None, chars=None, poff=None, pbase=None, charpk=None,
+            lo0=lo0, hi0=hi0,
+            leaf_perm=sched.leaf_perm, n=N,
+            delta=put(delta), dmeta=put(dmeta), dexc=put(dexc),
+            row_delta=row_delta, row_exc=row_exc,
+        )
     if wire == "mask":
         levels = k - start
         mask = np.zeros((levels, Npad), dtype=np.uint8)
@@ -525,16 +700,21 @@ def trie_search(
     if prepared is None:
         prepared = prepare(keys, k, ftab)
     masked = prepared.mask is not None
+    delta_wire = prepared.delta is not None
     packed = prepared.poff is not None
     ftab_tab = None
-    if masked and prepared.ftab_rows is not None:
+    if (masked and prepared.ftab_rows is not None) or (
+        delta_wire and prepared.row_delta is not None
+    ):
         ftab_tab = jnp.asarray(np.asarray(ftab, dtype=np.int32))
     sched_arr = (
-        prepared.mask if masked
+        prepared.delta if delta_wire
+        else prepared.mask if masked
         else prepared.poff if packed else prepared.parents
     )
     chars_arr = (
-        prepared.mask if masked
+        prepared.dmeta if delta_wire
+        else prepared.mask if masked
         else prepared.charpk if packed else prepared.chars
     )
     lo, hi = _trie_device(
@@ -550,6 +730,11 @@ def trie_search(
         masked=masked,
         ftab_tab=ftab_tab,
         ftab_rows=prepared.ftab_rows,
+        delta_wire=delta_wire,
+        dexc=prepared.dexc,
+        row_delta=prepared.row_delta,
+        row_exc=prepared.row_exc,
+        mask_derive=_mask_derive(),
     )
     lo = np.asarray(lo)[prepared.leaf_perm]
     hi = np.asarray(hi)[prepared.leaf_perm]

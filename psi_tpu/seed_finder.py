@@ -689,19 +689,24 @@ class SeedFinder:
         on_tpu = jax.default_backend() not in ("cpu",)
         packed = prepared.poff is not None
         masked = prepared.mask is not None
+        delta_wire = prepared.delta is not None
         ftab_tab = None
-        if masked and prepared.ftab_rows is not None:
+        if (masked and prepared.ftab_rows is not None) or (
+            delta_wire and prepared.row_delta is not None
+        ):
             if self._ftab_d is None:
                 self._ftab_d = jnp.asarray(
                     self._get_ftab().astype(np.int32)
                 )
             ftab_tab = self._ftab_d
         sched_arr = (
-            prepared.mask if masked
+            prepared.delta if delta_wire
+            else prepared.mask if masked
             else prepared.poff if packed else prepared.parents
         )
         chars_arr = (
-            prepared.mask if masked
+            prepared.dmeta if delta_wire
+            else prepared.mask if masked
             else prepared.charpk if packed else prepared.chars
         )
         lo_d, hi_d, counts_d = fm_trie._trie_device(
@@ -716,6 +721,11 @@ class SeedFinder:
             masked=masked,
             ftab_tab=ftab_tab,
             ftab_rows=prepared.ftab_rows,
+            delta_wire=delta_wire,
+            dexc=prepared.dexc,
+            row_delta=prepared.row_delta,
+            row_exc=prepared.row_exc,
+            mask_derive=fm_trie._mask_derive(),
             with_counts=True,
         )
         # counts-only download (pattern order); lo/hi stay device-resident

@@ -57,12 +57,18 @@ def force(x):
     return int(np.asarray(jnp.sum(x)))
 
 masked = prep.mask is not None
+delta_wire = prep.delta is not None
 packed = prep.poff is not None
-sched = prep.mask if masked else (prep.poff if packed else prep.parents)
-chars = sched if masked else (prep.charpk if packed else prep.chars)
+sched = (prep.delta if delta_wire
+         else prep.mask if masked
+         else (prep.poff if packed else prep.parents))
+chars = (prep.dmeta if delta_wire
+         else sched if masked
+         else (prep.charpk if packed else prep.chars))
 ftab_tab = (
     jnp.asarray(ftab.astype(np.int32))
-    if masked and prep.ftab_rows is not None else None
+    if (masked and prep.ftab_rows is not None)
+    or (delta_wire and prep.row_delta is not None) else None
 )
 def run():
     return fm_trie._trie_device(
@@ -70,6 +76,9 @@ def run():
         use_pallas=True, lo0=prep.lo0, hi0=prep.hi0,
         pbase=prep.pbase, packed=packed, masked=masked,
         ftab_tab=ftab_tab, ftab_rows=prep.ftab_rows,
+        delta_wire=delta_wire, dexc=prep.dexc,
+        row_delta=prep.row_delta, row_exc=prep.row_exc,
+        mask_derive=fm_trie._mask_derive(),
     )
 
 t0 = time.time()
@@ -123,7 +132,12 @@ VARIANTS = [
     ("slab_plain", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "0",
                     "PSI_TRIE_PACK": "0"}),
     ("mask_wire", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
-                   "PSI_TRIE_WIRE": "mask"}),
+                   "PSI_TRIE_WIRE": "mask", "PSI_MASK_DERIVE": "search"}),
+    # round-3b: cheaper in-device derives for the small wire formats
+    ("mask_sort", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                   "PSI_TRIE_WIRE": "mask", "PSI_MASK_DERIVE": "sort"}),
+    ("delta_wire", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
+                    "PSI_TRIE_WIRE": "delta"}),
     # grid-step size sweep (per-step Mosaic overhead vs VMEM)
     ("slab16", {"PSI_RESIDENT": "0", "PSI_FLAT_RING": "1",
                 "PSI_SLABS": "16"}),

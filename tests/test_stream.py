@@ -208,7 +208,7 @@ def test_trie_search_matches_generic():
     ftab = fm_ops.build_ftab(fm, 5)
     for pallas in (False, True):
         for ft in (None, ftab):
-            for wire in ("packed", "mask"):
+            for wire in ("packed", "mask", "delta"):
                 prep = fm_trie.prepare(keys, k, ft, wire=wire)
                 lo2, hi2 = fm_trie.trie_search(
                     arr, keys, k, use_pallas=pallas, interpret=pallas,
@@ -266,7 +266,8 @@ def test_seed_finder_chain_route_matches_default(monkeypatch):
         b = run(True, thr, mm)
         assert len(a) > 0
         assert a == b, (thr, mm)
-    # mask wire format through the same chained route
-    monkeypatch.setenv("PSI_TRIE_WIRE", "mask")
-    c = run(True)
-    assert c == run(False)
+    # mask + delta wire formats through the same chained route
+    for wire in ("mask", "delta"):
+        monkeypatch.setenv("PSI_TRIE_WIRE", wire)
+        c = run(True)
+        assert c == run(False), wire
