@@ -184,6 +184,32 @@ def _pad_exc(idx: np.ndarray, val: np.ndarray, npad: int,
     return out
 
 
+def _expand_slots(csum: jax.Array, w: jax.Array, cap: int) -> jax.Array:
+    """Run-expansion slot ids: out[j] = i such that j falls in slot i's
+    width-w[i] run (== searchsorted(csum, arange(cap), "right") on the
+    live region j < csum[-1]; values past the end may differ — callers
+    mask by `live` and clip).
+
+    PSI_EXPAND=scatter: scatter slot ids at run starts + one cummax —
+    run starts are distinct for w>0 slots, so a max-scatter plus an
+    associative max-scan replaces searchsorted's ~20 serialized gather
+    passes. Default stays "search" (the measured configuration) until
+    the scatter variant has a device number: XLA TPU scatter at 512 K
+    updates is an unmeasured risk. Read at trace time (A/B via
+    subprocess env, scripts/tpu_r3_kernels.py)."""
+    import os
+
+    if os.environ.get("PSI_EXPAND", "search") == "search":
+        occ = jnp.arange(cap, dtype=jnp.int32)
+        return jnp.searchsorted(csum, occ, side="right").astype(jnp.int32)
+    starts = csum - w
+    slot_ids = jnp.arange(w.shape[0], dtype=jnp.int32)
+    z = jnp.zeros(cap, jnp.int32).at[
+        jnp.where(w > 0, starts, cap)
+    ].max(slot_ids + 1, mode="drop")
+    return jax.lax.associative_scan(jnp.maximum, z) - 1
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cap"))
 def _expand_locate_device(
     sa: jax.Array,          # int32 [n] dense suffix array
@@ -212,7 +238,7 @@ def _expand_locate_device(
     csum = jnp.cumsum(w)
     total = csum[-1]
     occ = jnp.arange(cap, dtype=jnp.int32)
-    slot = jnp.searchsorted(csum, occ, side="right").astype(jnp.int32)
+    slot = _expand_slots(csum, w, cap)
     slot_c = jnp.clip(slot, 0, w.shape[0] - 1)
     within = occ - (csum[slot_c] - w[slot_c])
     live = occ < total
@@ -532,7 +558,13 @@ def prepare(
     import os
 
     if wire is None:
-        wire = os.environ.get("PSI_TRIE_WIRE", "packed")
+        wire = os.environ.get("PSI_TRIE_WIRE")
+    if wire is None:
+        # tunneled/PCIe chips are upload-bound (the schedule is the
+        # dominant per-chunk transfer): default to the 1 B/child delta
+        # wire there; on the CPU backend transfers are free and the
+        # materialized packed schedule skips the derive entirely
+        wire = "packed" if jax.default_backend() == "cpu" else "delta"
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
