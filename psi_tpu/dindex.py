@@ -67,6 +67,29 @@ def _merge_intervals(ivs: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
     return out
 
 
+def _union_row(d: np.ndarray, a: np.ndarray, b: np.ndarray):
+    """Per-destination interval union of one row, vectorized: lexsort by
+    (dst, lo), then a segmented running-max of hi (offset trick) finds
+    where a new disjoint output interval starts. Touching intervals
+    (lo == prev hi + 1) merge, matching _merge_intervals."""
+    if len(d) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    order = np.lexsort((a, d))
+    d, a, b = d[order], a[order], b[order]
+    grp = np.empty(len(d), dtype=bool)
+    grp[0] = True
+    grp[1:] = d[1:] != d[:-1]
+    gid = np.cumsum(grp) - 1
+    big = np.int64(max(int(b.max()), 0) + 2)
+    run_hi = np.maximum.accumulate(b + gid * big) - gid * big
+    starts = grp.copy()
+    starts[1:] |= a[1:] > run_hi[:-1] + 1
+    sidx = np.nonzero(starts)[0]
+    ends = np.concatenate([sidx[1:] - 1, [len(d) - 1]])
+    return d[sidx], a[sidx], run_hi[ends]
+
+
 def contract_chains(node_len, out_indptr, out_indices):
     """Collapse maximal unary chains into supernodes.
 
@@ -227,39 +250,52 @@ class DistanceIndex:
             idx.src_indptr, idx.dst, idx.iv_lo, idx.iv_hi = res
             return idx
 
-        # Python mirror of the reverse-topological DP
+        # Python mirror of the reverse-topological DP. Rows are kept as
+        # COMPACT NumPy triples from the moment they are built (24 B per
+        # interval instead of ~100 B of tuple objects — the former
+        # all-tuples form held every supernode's row as Python objects
+        # simultaneously and was unusable at pan-genome scale), and each
+        # row's union/merge is one vectorized lexsort pass. Peak memory
+        # = the final CSR (which is the output, irreducible) + one row's
+        # transient concat buffers; rows are the output, so no separate
+        # retirement copy exists.
         cap = dmax - 1  # D0 = 1 + tail + L + head >= 1 + L
-        rows: List[List[Tuple[int, int, int]] | None] = [None] * S
+        rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray] | None]
+        rows = [None] * S
         for s in reversed(order):
-            acc: Dict[int, List[Tuple[int, int]]] = {}
-            for e in range(s_indptr[s], s_indptr[s + 1]):
-                t = int(s_indices[e])
-                acc.setdefault(t, []).append((0, 0))
-                shift = int(sup_len[t])
-                if rows[t]:
-                    for (w, a, b) in rows[t]:
-                        na = a + shift
-                        if na <= cap:
-                            acc.setdefault(w, []).append(
-                                (na, min(b + shift, cap))
-                            )
-            rows[s] = [
-                (t, a, b)
-                for t in sorted(acc)
-                for (a, b) in _merge_intervals(acc[t])
-            ]
-        indptr = [0]
-        dst, lo_l, hi_l = [], [], []
-        for s in range(S):
-            for (t, a, b) in rows[s] or []:
-                dst.append(t)
-                lo_l.append(a)
-                hi_l.append(b)
-            indptr.append(len(dst))
-        idx.src_indptr = np.asarray(indptr, dtype=np.int64)
-        idx.dst = np.asarray(dst, dtype=np.int64)
-        idx.iv_lo = np.asarray(lo_l, dtype=np.int64)
-        idx.iv_hi = np.asarray(hi_l, dtype=np.int64)
+            e0, e1 = int(s_indptr[s]), int(s_indptr[s + 1])
+            if e0 == e1:
+                continue
+            kids = s_indices[e0:e1].astype(np.int64)
+            parts_d = [kids]
+            parts_a = [np.zeros(len(kids), dtype=np.int64)]
+            parts_b = [np.zeros(len(kids), dtype=np.int64)]
+            for t in kids:
+                rt = rows[int(t)]
+                if rt is None or len(rt[0]) == 0:
+                    continue
+                shift = int(sup_len[int(t)])
+                na = rt[1] + shift
+                keep = na <= cap
+                parts_d.append(rt[0][keep])
+                parts_a.append(na[keep])
+                parts_b.append(np.minimum(rt[2][keep] + shift, cap))
+            rows[s] = _union_row(
+                np.concatenate(parts_d),
+                np.concatenate(parts_a),
+                np.concatenate(parts_b),
+            )
+        counts = np.asarray(
+            [0 if r is None else len(r[0]) for r in rows], dtype=np.int64
+        )
+        idx.src_indptr = np.concatenate(
+            [[0], np.cumsum(counts)]
+        ).astype(np.int64)
+        live = [r for r in rows if r is not None and len(r[0])]
+        if live:
+            idx.dst = np.concatenate([r[0] for r in live])
+            idx.iv_lo = np.concatenate([r[1] for r in live])
+            idx.iv_hi = np.concatenate([r[2] for r in live])
         return idx
 
     @staticmethod
@@ -267,7 +303,17 @@ class DistanceIndex:
         idx: "DistanceIndex", graph: Graph, dmax: int, per_component: bool
     ) -> "DistanceIndex":
         """Round-1 fallback: per-source interval BFS over NODE pairs
-        (handles cyclic inputs; native OpenMP builder when available)."""
+        (handles cyclic inputs; native OpenMP builder when available).
+
+        Cost model (this is the CYCLIC-input path; the reference outright
+        rejects non-topologically-ordered graphs, ref: psikt.cpp:252-255,
+        so any cyclic support is beyond-parity): per source the frontier
+        re-expands until the per-target interval sets reach fixpoint —
+        intervals are monotone and capped at dmax, so each (source,
+        target) pair grows at most O(dmax / mean_node_len) times, giving
+        O(n_nodes * reachable_within_dmax * rounds) total. Usable for
+        small graphs / moderate dmax only; measured numbers in
+        docs/BENCH_NOTES.md ("dindex cyclic fallback")."""
         idx.mode = "node"
 
         from psi_tpu import native

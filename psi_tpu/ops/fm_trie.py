@@ -159,24 +159,42 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
     return out
 
 
+#: fixed delta-wire exception width: one compiled shape per Npad (a
+#: data-dependent width would trigger a fresh 1-10 min remote XLA
+#: compile whenever a chunk's >255-gap count crossed a pow-2 boundary);
+#: `prepare` falls back to the packed wire when a level exceeds it
+DELTA_EXC_WIDTH = 64
+
+
 def _delta_saturate(d: np.ndarray):
     """Split non-negative int64 deltas into a uint8 array plus (idx,
-    val) corrections for entries > 255 (val = true - 255)."""
-    assert (d >= 0).all()
+    val) corrections for entries > 255 (val = true - 255). The
+    non-negativity is the strictly-increasing-parents-per-segment
+    invariant the whole delta wire depends on — a violation must fail
+    loudly (a bare assert would vanish under python -O and turn a
+    schedule-builder bug into silent wrong search results)."""
+    if not (d >= 0).all():
+        raise ValueError(
+            "delta wire: parent deltas must be non-negative within "
+            "each char segment (schedule invariant violated)"
+        )
     big = np.nonzero(d > 255)[0].astype(np.int64)
     val = (d[big] - 255).astype(np.int64)
     return np.minimum(d, 255).astype(np.uint8), big, val
 
 
 def _pad_exc(idx: np.ndarray, val: np.ndarray, npad: int,
-             width: int | None = None) -> np.ndarray:
-    """Pack scatter corrections as int32 [2, E], E a power of two
-    (bounds compiled shapes); padding rows use idx=npad, dropped by the
-    device's mode="drop" scatter."""
-    E = 8
-    target = max(width or 0, len(idx), 1)
-    while E < target:
-        E *= 2
+             width: int = DELTA_EXC_WIDTH) -> np.ndarray:
+    """Pack scatter corrections as int32 [2, E] at the FIXED width E
+    (one compiled shape per Npad); padding rows use idx=npad, dropped
+    by the device's mode="drop" scatter. Callers must pre-check
+    len(idx) <= E (prepare falls back to the packed wire otherwise)."""
+    E = width
+    if len(idx) > E:
+        raise ValueError(
+            f"delta-wire exception count {len(idx)} exceeds fixed "
+            f"width {E}"
+        )
     out = np.full((2, E), npad, dtype=np.int32)
     out[0, : len(idx)] = idx
     out[1] = 0
@@ -493,7 +511,13 @@ class PreparedTrie(NamedTuple):
         ops on device;
       * plain: int32 parents/chars (fallback when some slab's parent
         span exceeds uint16 — only possible for extremely sparse child
-        densities)."""
+        densities).
+
+    NOTE the wire/variant env knobs (PSI_TRIE_WIRE, PSI_EXPAND,
+    PSI_MASK_DERIVE, PSI_TRIE_PACK) are read at PREPARE/TRACE time:
+    flipping one after the first in-process trace of a shape has no
+    effect on that shape (A/B via subprocess env, as
+    scripts/tpu_r3_kernels.py does)."""
 
     parents: jax.Array | None  # int32 [levels, Npad] (plain format)
     chars: jax.Array | None    # int32 [levels, Npad] (plain format)
@@ -603,6 +627,12 @@ def prepare(
             # absolute row[0] rides as the idx-0 exception
             idx = np.concatenate([[0], idx])
             val = np.concatenate([[int(rows_pad[0])], val])
+            if len(idx) > DELTA_EXC_WIDTH:
+                # too many saturated gaps for the fixed exception
+                # width: the packed wire keeps one compiled shape
+                return prepare(keys, k, ftab, npad=npad,
+                               to_device=to_device, pack=pack,
+                               wire="packed")
             row_delta = put(d8)
             row_exc = put(_pad_exc(idx, val, Npad))
         else:
@@ -635,10 +665,13 @@ def prepare(
             excs.append((idx, val))
             dmeta[jj, :4] = np.minimum(ss, Npad)
             dmeta[jj, 4:] = p_pad[np.minimum(ss, Npad - 1)]
-        width = max(8, max(len(i) for i, _ in excs))
-        dexc = np.stack([
-            _pad_exc(i, v, Npad, width) for i, v in excs
-        ])
+        if max(len(i) for i, _ in excs) > DELTA_EXC_WIDTH:
+            # a level's >255-gap count exceeds the fixed exception
+            # width (extremely sparse child density): the packed wire
+            # keeps one compiled shape instead of resizing dexc
+            return prepare(keys, k, ftab, npad=npad,
+                           to_device=to_device, pack=pack, wire="packed")
+        dexc = np.stack([_pad_exc(i, v, Npad) for i, v in excs])
         return PreparedTrie(
             parents=None, chars=None, poff=None, pbase=None, charpk=None,
             lo0=lo0, hi0=hi0,

@@ -212,28 +212,61 @@ def sharded_count_2d(
 
 
 def sharded_locate(
-    arrays: ShardedFMArrays, lo: np.ndarray, hi: np.ndarray, max_width: int
+    arrays: ShardedFMArrays, lo: np.ndarray, hi: np.ndarray,
+    max_width: int, axis: str = "shard",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Gather text positions per shard for the given ranges.
 
     Returns (shard_idx, query_idx, positions) flattened across shards —
-    the host-side allgather merge of per-shard hit sets. Vectorized with
-    the same repeat/cumsum occurrence expansion as the on-path emission
-    (seed_finder._seeds_on_paths_impl): no per-query Python."""
-    sa = np.asarray(arrays.sa)
+    the host-side allgather merge of per-shard hit sets. The SA stays
+    DEVICE-RESIDENT: the occurrence expansion plans shard-local SA
+    indices on host (lo/hi are small), a shard_map gathers positions on
+    every shard's own device, and only the hits come down (cap-padded
+    int32 per shard) — at chr scale the former full-SA host fetch was a
+    multi-GB download per call and defeated the point of sharding."""
     S, N = lo.shape
-    widths = np.maximum(hi - lo, 0).astype(np.int64).reshape(-1)
-    total = int(widths.sum())
+    widths = np.maximum(hi - lo, 0).astype(np.int64)
+    per_tot = widths.sum(axis=1)
+    total = int(per_tot.sum())
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
-    rows = np.repeat(np.arange(S * N, dtype=np.int64), widths)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(widths) - widths, widths
-    )
-    shard = rows // N
-    query = rows % N
-    pos = sa[shard, lo.reshape(-1)[rows] + within].astype(np.int64)
+    cap = max(16, 1 << (int(per_tot.max()) - 1).bit_length())
+    idx = np.zeros((S, cap), dtype=np.int32)
+    query_l = []
+    for s in range(S):
+        w = widths[s]
+        t = int(per_tot[s])
+        rows = np.repeat(np.arange(N, dtype=np.int64), w)
+        within = np.arange(t, dtype=np.int64) - np.repeat(
+            np.cumsum(w) - w, w
+        )
+        idx[s, :t] = lo[s][rows] + within
+        query_l.append(rows)
+    mesh = arrays.sa.sharding.mesh
+    sharding = NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+    idx_d = put_global(idx, sharding)
+
+    def local(sa_d, idx_d):
+        safe = jnp.clip(idx_d[0], 0, sa_d.shape[1] - 1)
+        return sa_d[0][safe][None]
+
+    pos_d = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(axis),) * 2,
+        out_specs=jax.sharding.PartitionSpec(axis),
+        check_vma=False,
+    )(arrays.sa, idx_d)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pos_d = multihost_utils.process_allgather(pos_d, tiled=True)
+    pos2 = np.asarray(pos_d)
+    shard = np.repeat(np.arange(S, dtype=np.int64), per_tot)
+    query = np.concatenate(query_l)
+    pos = np.concatenate(
+        [pos2[s, : int(per_tot[s])] for s in range(S)]
+    ).astype(np.int64)
     return shard, query, pos
 
 

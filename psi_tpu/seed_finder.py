@@ -1062,12 +1062,23 @@ class SeedFinder:
             for i, ch in enumerate("ACGT"):
                 lut[ord(ch)] = i + 1
                 lut[ord(ch.lower())] = i + 1
+            # one frombuffer over the concatenated chunk (no per-read
+            # Python on the batched MEM API): scatter each read's coded
+            # bytes into its padded row via a flat ragged->dense index
+            rlens = np.fromiter(
+                (len(s) for s in reads.seqs), dtype=np.int32, count=N
+            )
+            flat = np.frombuffer(
+                "".join(reads.seqs).encode("ascii"), dtype=np.uint8
+            )
+            starts = np.zeros(N, dtype=np.int64)
+            np.cumsum(rlens[:-1], out=starts[1:])
+            total = int(rlens.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, rlens
+            )
             codes = np.zeros((N, L), dtype=np.int32)
-            rlens = np.zeros(N, dtype=np.int32)
-            for r, s in enumerate(reads.seqs):
-                b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
-                codes[r, : len(b)] = lut[b]
-                rlens[r] = len(b)
+            codes[np.repeat(np.arange(N), rlens), within] = lut[flat]
             thr = self.gocc_threshold or (2**31 - 1)
             mm = self.max_mem or (2**31 - 1)
             # a read emits at most one MEM per k+1 consumed positions

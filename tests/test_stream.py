@@ -220,6 +220,64 @@ def test_trie_search_matches_generic():
                 np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
 
 
+def test_trie_search_mask_search_derive(monkeypatch):
+    """PSI_MASK_DERIVE=search (the searchsorted select, no longer the
+    default) stays exact; mask_derive is a static jit arg so flipping
+    the env between calls retraces."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(29)
+    s = "".join(rng.choice(list("ACGT"), size=50_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    arr = fm_stream.build_stream_arrays(fm)
+    dense = fm_ops.to_device(fm, dense_occ=True)
+    k = 12
+    keys = np.unique(rng.randint(0, 4 ** k, size=3000).astype(np.uint64))
+    codes = fm_ops.keys_to_codes(keys, k)
+    l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+    w1 = np.asarray(h1) - np.asarray(l1)
+    ftab = fm_ops.build_ftab(fm, 5)
+    monkeypatch.setenv("PSI_MASK_DERIVE", "search")
+    prep = fm_trie.prepare(keys, k, ftab, wire="mask")
+    lo2, hi2 = fm_trie.trie_search(
+        arr, keys, k, ftab=ftab, prepared=prep
+    )
+    np.testing.assert_array_equal(w1, hi2 - lo2)
+    nz = w1 > 0
+    assert nz.any()
+    np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
+
+
+def test_expand_slots_scatter_matches_search(monkeypatch):
+    """PSI_EXPAND=scatter (max-scatter + associative max-scan) agrees
+    with the searchsorted form on the live region, incl. zero-width
+    slots and an empty tail."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(31)
+    w = rng.randint(0, 5, size=257).astype(np.int32)
+    w[rng.choice(257, 80, replace=False)] = 0
+    csum = np.cumsum(w).astype(np.int32)
+    total = int(csum[-1])
+    cap = 1 << (total - 1).bit_length()
+
+    monkeypatch.setenv("PSI_EXPAND", "search")
+    a = np.asarray(
+        fm_trie._expand_slots(jnp.asarray(csum), jnp.asarray(w), cap)
+    )
+    monkeypatch.setenv("PSI_EXPAND", "scatter")
+    b = np.asarray(
+        fm_trie._expand_slots(jnp.asarray(csum), jnp.asarray(w), cap)
+    )
+    live = np.arange(cap) < total
+    np.testing.assert_array_equal(a[live], b[live])
+    # live entries must point at their covering slot
+    occ = np.arange(cap)[live]
+    slots = a[live]
+    assert (occ < csum[slots]).all()
+    assert (occ >= csum[slots] - w[slots]).all()
+
+
 def test_seed_finder_chain_route_matches_default(monkeypatch):
     """The fully device-chained on-path route (trie -> counts-only
     download -> device expand+locate via device-resident lo/hi) emits
@@ -271,3 +329,13 @@ def test_seed_finder_chain_route_matches_default(monkeypatch):
         monkeypatch.setenv("PSI_TRIE_WIRE", wire)
         c = run(True)
         assert c == run(False), wire
+    monkeypatch.delenv("PSI_TRIE_WIRE", raising=False)
+    # scatter occurrence expansion through the chained route. PSI_EXPAND
+    # is read at TRACE time and (k, cap) were already traced above with
+    # the search form — drop the cached traces so the env flip takes.
+    from psi_tpu.ops import fm_trie
+
+    monkeypatch.setenv("PSI_EXPAND", "scatter")
+    fm_trie._expand_locate_device.clear_cache()
+    for thr in (0, 1):
+        assert run(True, thr) == run(False, thr), thr
