@@ -472,6 +472,98 @@ class DistanceIndex:
             & (self.iv_hi[rc] >= s_lo) & (self.iv_lo[rc] <= s_hi)
         )
 
+    # --- device probe (SURVEY §2.2: DiVerG's accelerator offload) ---------
+    def _device_tables(self):
+        """Device-resident probe tables, uploaded once per index: the
+        composite sorted keys split into two int32 halves (JAX x64 is
+        disabled — device code stays int32; the halves compare
+        lexicographically exactly), plus per-row (src, dst, iv_lo,
+        iv_hi) int32 columns for the pair/intersect checks."""
+        import jax.numpy as jnp
+
+        if getattr(self, "_dev", None) is None:
+            pk = self._pair_keys().astype(np.int64)
+            nrows = len(self.src_indptr) - 1
+            src = np.repeat(
+                np.arange(nrows, dtype=np.int64),
+                np.diff(self.src_indptr),
+            )
+            self._dev = {
+                "pk_hi": jnp.asarray((pk >> 31).astype(np.int32)),
+                "pk_lo": jnp.asarray(
+                    (pk & np.int64(0x7FFFFFFF)).astype(np.int32)
+                ),
+                "src": jnp.asarray(src.astype(np.int32)),
+                "dst": jnp.asarray(self.dst.astype(np.int32)),
+                "iv_lo": jnp.asarray(self.iv_lo.astype(np.int32)),
+                "iv_hi": jnp.asarray(self.iv_hi.astype(np.int32)),
+            }
+        return self._dev
+
+    def _probe_pairs_device(self, q_src, q_dst, s_lo, s_hi, ok_q,
+                            variant: str | None = None) -> np.ndarray:
+        """Exact device-side interval probe (the query side of DiVerG's
+        accelerator offload, ref: seed_finder.hpp:783-790 Kokkos exec
+        space; SURVEY §2.2). Two formulations, both int32-only:
+
+          * "sort" (default): ONE multi-key lax.sort of the row keys
+            concatenated with the (host-split) query keys, with a tag
+            as tertiary key; each query's searchsorted-right position
+            falls out of a cumsum over the merged order. Sorts are the
+            fastest random-access primitive measured on v5e (SCALING.md
+            round 3b) — no serialized gathers.
+          * "bisect": a fixed-trip lexicographic bisection (2 gathers
+            per step over the split keys).
+
+        PSI_DINDEX_PROBE overrides; numbers in docs/SCALING.md round 4.
+        """
+        import os
+
+        import jax.numpy as jnp
+
+        from psi_tpu.ops.dindex_probe import probe_bisect, probe_sort
+
+        if variant is None:
+            variant = os.environ.get("PSI_DINDEX_PROBE", "sort")
+        pk = self._pair_keys()
+        if len(pk) == 0:
+            return np.zeros(len(q_src), dtype=bool)
+        tabs = self._device_tables()
+        # host-side composite query keys (int64 host math, split for
+        # the device; the pre-probe arithmetic is elementwise-cheap)
+        # nrows+2 must match _pair_keys' composite base exactly
+        nrows = len(self.src_indptr) - 1
+        s_hi_c = np.minimum(s_hi, np.int64(self._pk_ivbase - 1))
+        qkey = (
+            (q_src * np.int64(nrows + 2) + q_dst) * self._pk_ivbase
+            + np.maximum(s_hi_c, 0)
+        )
+        fn = probe_sort if variant == "sort" else probe_bisect
+        hit = fn(
+            tabs["pk_hi"], tabs["pk_lo"], tabs["src"], tabs["dst"],
+            tabs["iv_lo"], tabs["iv_hi"],
+            jnp.asarray((qkey >> 31).astype(np.int32)),
+            jnp.asarray((qkey & np.int64(0x7FFFFFFF)).astype(np.int32)),
+            jnp.asarray(q_src.astype(np.int32)),
+            jnp.asarray(q_dst.astype(np.int32)),
+            jnp.asarray(np.clip(
+                s_lo, np.iinfo(np.int32).min, np.iinfo(np.int32).max
+            ).astype(np.int32)),
+            jnp.asarray(np.clip(
+                s_hi, np.iinfo(np.int32).min, np.iinfo(np.int32).max
+            ).astype(np.int32)),
+        )
+        return np.asarray(hit) & ok_q
+
+    def verify_batch_device(
+        self, graph: Graph, v: np.ndarray, o: np.ndarray,
+        u: np.ndarray, p: np.ndarray,
+    ) -> np.ndarray:
+        """verify_batch with the probe on the device (same semantics,
+        same truth tables; alice dstats routes through this under
+        --device or PSI_DINDEX_DEVICE=1)."""
+        return self._verify_batch_impl(graph, v, o, u, p, device=True)
+
     def verify_batch(
         self, graph: Graph, v: np.ndarray, o: np.ndarray,
         u: np.ndarray, p: np.ndarray,
@@ -480,6 +572,11 @@ class DistanceIndex:
         style pair checking, ref: tools/src/alice.cpp:599-737): one
         searchsorted over composite sorted keys — no per-row Python and
         no dependence on interval multiplicity."""
+        return self._verify_batch_impl(graph, v, o, u, p, device=False)
+
+    def _verify_batch_impl(
+        self, graph: Graph, v, o, u, p, device: bool,
+    ) -> np.ndarray:
         v = np.asarray(v, dtype=np.int64)
         o = np.asarray(o, dtype=np.int64)
         u = np.asarray(u, dtype=np.int64)
@@ -520,7 +617,8 @@ class DistanceIndex:
 
         if len(rest) == 0:
             return out
-        out[rest] = self._probe_pairs(q_src, q_dst, s_lo, s_hi, ok_q)
+        probe = self._probe_pairs_device if device else self._probe_pairs
+        out[rest] = probe(q_src, q_dst, s_lo, s_hi, ok_q)
         return out
 
     # --- serialization ------------------------------------------------------

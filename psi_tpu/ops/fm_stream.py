@@ -404,7 +404,17 @@ def _rank4_kernel_flat(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
     wlo/nw tables), and one RING-deep pipeline spans slab and grid-step
     boundaries: visit g waits slot g%RING, computes, then starts visit
     g+RING — wherever that lands. Scratch persists across grid steps,
-    so after the t==0 prologue the ring never drains."""
+    so after the t==0 prologue the ring never drains.
+
+    PSI_RANK4_CTL (trace-time env, DIAGNOSTIC ONLY — WRONG RESULTS):
+    per-visit cost attribution controls for the A/B scripts.
+    "nogather" replaces the 7 dynamic lane gathers with row-0
+    broadcasts; "nopop" drops the plane gathers + popcounts (occ
+    checkpoint only); "novisit" writes constants (loop + DMA cost
+    only). Never set in production."""
+    import os as _os_ctl
+
+    ctl = _os_ctl.environ.get("PSI_RANK4_CTL", "")
     neg1 = jnp.int32(-1)
     t = pl.program_id(0)
     nslabs_total = prefix.shape[0] - 1
@@ -473,13 +483,161 @@ def _rank4_kernel_flat(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
             lbl = jnp.clip(blk - w * WB, 0, WB - 1)
 
             def gcomp(row):
+                if ctl == "nogather":
+                    return jnp.broadcast_to(
+                        winring[slot, pl.ds(row, 1), :], (QROWS, WB)
+                    )
                 src = jnp.broadcast_to(
                     winring[slot, pl.ds(row, 1), :], (QROWS, WB)
                 )
                 return jnp.take_along_axis(src, lbl, axis=1)
 
-            occ = [gcomp(c) for c in range(1, 5)]
-            pw = [gcomp(6 + p) for p in range(3)]
+            if ctl == "novisit":
+                for c in range(4):
+                    out_ref[0, s, c] = jnp.where(
+                        valid, jnp.int32(0), out_ref[0, s, c]
+                    )
+            else:
+                occ = [gcomp(c) for c in range(1, 5)]
+                if ctl == "nopop":
+                    for c in range(1, 5):
+                        out_ref[0, s, c - 1] = jnp.where(
+                            valid, occ[c - 1], out_ref[0, s, c - 1]
+                        )
+                else:
+                    pw = [gcomp(6 + p) for p in range(3)]
+                    maskw = (1 << (poss % SBLOCK)) - 1
+                    for c in range(1, 5):
+                        match = jnp.full((QROWS, WB), neg1)
+                        for p in range(3):
+                            match &= pw[p] if (c >> p) & 1 else ~pw[p]
+                        rank = occ[c - 1] + jax.lax.population_count(
+                            match & maskw
+                        )
+                        out_ref[0, s, c - 1] = jnp.where(
+                            valid, rank, out_ref[0, s, c - 1]
+                        )
+
+            @pl.when(g + RING < total)
+            def _():
+                start_visit(g + RING)
+
+            return 0
+
+        for c in range(4):
+            out_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], visit, 0)
+
+
+def _rank4_kernel_mxu(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
+                      winring, sems, prefix, acc):
+    """rank4 with the payload fetch on the MXU (round-4 candidate (a)
+    from the r3 falsification: "a format with fewer dynamic gathers per
+    rank"). Same flat window-prefetch pipeline as _rank4_kernel_flat,
+    but each visit replaces the 7 single-vreg dynamic lane gathers with
+    8 one-hot matmuls: per query sublane si,
+
+        C_si[r, q] = sum_b W[r, b] * (lbl[si, q] == b)
+                   = win[r, lbl[si, q]]
+
+    i.e. W [16, 128] (the window's 7 payload components split into two
+    exact-in-f32 uint16 halves) times a [128, 128] one-hot built by one
+    broadcast compare — the whole payload context of 128 queries lands
+    in one [16, 128] result. One-hot entries are exactly 0.0/1.0 and
+    each output is a single selected term <= 65535, so the f32 matmul
+    is EXACT at any text size (the halves recombine to the original
+    int32 bit pattern, including plane words with the sign bit set)."""
+    neg1 = jnp.int32(-1)
+    t = pl.program_id(0)
+    nslabs_total = prefix.shape[0] - 1
+
+    def slab_of(g):
+        def step(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi + 1) // 2
+            go = prefix[mid] <= g
+            return (jnp.where(go, mid, lo), jnp.where(go, hi, mid - 1))
+
+        bits = max((nslabs_total).bit_length(), 1)
+        lo, _ = jax.lax.fori_loop(
+            0, bits, step, (jnp.int32(0), jnp.int32(nslabs_total - 1))
+        )
+        return lo
+
+    def start_visit(g):
+        s = slab_of(g)
+        w = wlo_ref[s] + (g - prefix[s])
+        slot = jax.lax.rem(g, RING)
+        pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(w * WB, WB)],
+            winring.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(t == 0)
+    def _():
+        def scan_body(i, a):
+            prefix[i] = a
+            return a + nw_ref[i]
+
+        total0 = jax.lax.fori_loop(0, nslabs_total, scan_body, jnp.int32(0))
+        prefix[nslabs_total] = total0
+
+        def prologue(g, _):
+            @pl.when(g < total0)
+            def _():
+                start_visit(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, RING, prologue, 0)
+
+    total = prefix[nslabs_total]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (WB, WB), 0)
+    for s in range(SLABS):
+        poss = pos_ref[0, s]
+        blk = poss // SBLOCK
+        lane_slab = t * SLABS + s
+        base = wlo_ref[lane_slab]
+        gs = prefix[lane_slab]
+
+        def visit(j, _):
+            g = gs + j
+            w = base + j
+            slot = jax.lax.rem(g, RING)
+            pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(w * WB, WB)],
+                winring.at[slot],
+                sems.at[slot],
+            ).wait()
+
+            valid = (blk // WB) == w
+            lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+            # W [16, 128]: rows 0..6 = lo16 of payload components
+            # (occ A,C,G,T, plane 0..2), rows 7..13 = hi16, 14..15 pad
+            rows = winring[slot]                    # (16, 128) int32
+            sel = jnp.concatenate([rows[1:5], rows[6:9]], axis=0)
+            lo16 = (sel & 0xFFFF).astype(jnp.float32)
+            hi16 = ((sel >> 16) & 0xFFFF).astype(jnp.float32)
+            wf = jnp.concatenate(
+                [lo16, hi16, jnp.zeros((2, WB), jnp.float32)], axis=0
+            )
+            for si in range(QROWS):
+                oh = (
+                    iota_b == jnp.broadcast_to(lbl[si: si + 1, :], (WB, WB))
+                ).astype(jnp.float32)
+                acc[si] = jnp.dot(
+                    wf, oh, preferred_element_type=jnp.float32
+                )
+
+            def comp(r):
+                lo_t = acc[:, r, :].astype(jnp.int32)
+                hi_t = acc[:, 7 + r, :].astype(jnp.int32)
+                return (hi_t << 16) | lo_t
+
+            occ = [comp(c) for c in range(4)]
+            pw = [comp(4 + p) for p in range(3)]
             maskw = (1 << (poss % SBLOCK)) - 1
             for c in range(1, 5):
                 match = jnp.full((QROWS, WB), neg1)
@@ -593,20 +751,30 @@ def rank4_stream(
     """ranks for all 4 symbols at MONOTONE positions pos [M]
     (M a multiple of QTILE). Returns int32 [T, SLABS, 4, QROWS, WB].
 
-    Dispatch: the windowed ring kernels by default — measured on v5e
-    (r3 A/B, BENCH_NOTES) the fully VMEM-resident kernel is ~1.3x
-    SLOWER than the ring on dense sorted batches (dynamic VMEM window
-    addressing costs more than the DMAs it removes), so PSI_RESIDENT=1
-    is opt-in; flat=True uses the globally flat pipeline
-    (PSI_FLAT_RING=0 reverts to the per-slab ring)."""
+    Dispatch (PSI_RANK4 = mxu | flat | slab | resident, read at trace
+    time): "mxu" is the one-hot-matmul payload fetch (round-4
+    candidate); "flat"/"slab" are the r3 windowed-ring gather kernels;
+    "resident" is the fully VMEM-resident gather kernel (measured ~1.3x
+    slower than the ring on dense sorted batches; needs payload8).
+    Legacy envs PSI_RESIDENT=1 / PSI_FLAT_RING=0 still map to
+    resident/slab. Defaults and measured v5e numbers: docs/SCALING.md
+    round-4 table."""
     import os
 
-    if arrays.payload8 is not None and os.environ.get(
-        "PSI_RESIDENT", "0"
-    ) not in ("", "0"):
+    variant = os.environ.get("PSI_RANK4")
+    if variant is None:
+        if os.environ.get("PSI_RESIDENT", "0") not in ("", "0"):
+            variant = "resident"
+        elif flat is False or os.environ.get(
+            "PSI_FLAT_RING", "1"
+        ) in ("", "0"):
+            variant = "slab"
+        else:
+            variant = "flat"
+    if variant == "resident" and arrays.payload8 is not None:
         return _rank4_resident_call(arrays, pos, interpret)
-    if flat is None:
-        flat = os.environ.get("PSI_FLAT_RING", "1") not in ("", "0")
+    if variant == "resident":
+        variant = "flat"  # payload too large for VMEM residency
     M = pos.shape[0]
     T = M // QTILE
     by_slab = pos.reshape(-1, SLAB_Q) // SPAN
@@ -617,8 +785,15 @@ def rank4_stream(
         pltpu.VMEM((RING, PAYLOAD_ROWS, WB), jnp.int32),
         pltpu.SemaphoreType.DMA((RING,)),
     ]
-    if flat:
+    if variant in ("flat", "mxu"):
         scratch.append(pltpu.SMEM((T * SLABS + 1,), jnp.int32))
+    if variant == "mxu":
+        scratch.append(pltpu.VMEM((QROWS, PAYLOAD_ROWS, WB), jnp.float32))
+    kernel = {
+        "mxu": _rank4_kernel_mxu,
+        "flat": _rank4_kernel_flat,
+        "slab": _rank4_kernel,
+    }[variant]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -632,7 +807,7 @@ def rank4_stream(
         scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _rank4_kernel_flat if flat else _rank4_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((T, SLABS, 4, QROWS, WB), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -93,19 +93,29 @@ class ShardedPreparedTrie(NamedTuple):
     """Per-device trie plans, stacked on a leading shard axis and placed
     sharded over the mesh "data" axis (the multi-device analogue of
     fm_trie.PreparedTrie; built on the producer thread by
-    SeedFinder.prepare_onpath when a mesh is active)."""
+    SeedFinder.prepare_onpath when a mesh is active). Supports the same
+    wire formats as the single-device plan — in particular the delta
+    wire, so the sharded route ships the same ~1 B/child schedules the
+    chain route does (round-3 pinned the sharded wire to "packed";
+    round 4 unifies the fast path and the scaled path)."""
 
     parents: jax.Array | None  # int32 [D, L, Npad] (plain format)
     chars: jax.Array | None
     poff: jax.Array | None     # uint16 [D, L, Npad] (packed format)
     pbase: jax.Array | None
     charpk: jax.Array | None
-    lo0: jax.Array             # int32 [D, Npad]
-    hi0: jax.Array
+    lo0: jax.Array | None      # int32 [D, Npad]
+    hi0: jax.Array | None
     leaf_perms: Tuple[np.ndarray, ...]
     sizes: Tuple[int, ...]
     per: int
     n: int
+    # delta wire format (see fm_trie.PreparedTrie)
+    delta: jax.Array | None = None      # uint8 [D, L, Npad]
+    dmeta: jax.Array | None = None      # int32 [D, L, 8]
+    dexc: jax.Array | None = None       # int32 [D, L, 2, E]
+    row_delta: jax.Array | None = None  # uint8 [D, Npad]
+    row_exc: jax.Array | None = None    # int32 [D, 2, E2]
 
 
 def prepare_trie_sharded(
@@ -114,15 +124,34 @@ def prepare_trie_sharded(
     k: int,
     n_text: int,
     ftab: Optional[np.ndarray] = None,
+    wire: Optional[str] = None,
 ) -> ShardedPreparedTrie:
     """Split sorted distinct keys into contiguous per-device chunks
     (each stays sorted/pattern-orderable), build one trie plan per
     shard with a COMMON pad width and wire format, stack, and place
-    sharded over the mesh. Thread-safe (producer thread)."""
+    sharded over the mesh. Thread-safe (producer thread).
+
+    `wire` follows fm_trie.prepare's default (delta on accelerator
+    backends, packed on CPU; PSI_TRIE_WIRE overrides); shards that
+    overflow the delta wire's fixed exception width force the whole
+    plan back to packed so formats stay uniform across the stack."""
+    import os
+
+    import jax as _jax
+
     from psi_tpu.ops import fm_trie
     from psi_tpu.ops.fm_stream import QTILE
 
     from psi_tpu.parallel.distributed import put_global
+
+    if wire is None:
+        wire = os.environ.get("PSI_TRIE_WIRE")
+    if wire is None:
+        wire = "packed" if _jax.default_backend() == "cpu" else "delta"
+    if wire == "mask":
+        # the mask wire's in-device select derive lost its measured A/B
+        # (docs/SCALING.md); it stays single-plan only
+        wire = "packed"
 
     D = mesh.shape["data"]
     N = len(keys)
@@ -138,27 +167,28 @@ def prepare_trie_sharded(
             # are discarded by sizes[d] == 0
             yield (c if len(c) else keys[-1:]), len(c)
 
-    plans = []
-    sizes = []
-    for c, sz in chunks():
-        # wire pinned to the materialized formats: the in-device mask
-        # derivation is single-plan for now (PSI_TRIE_WIRE=mask applies
-        # to the unsharded chain route only)
-        plans.append(
+    def build_all(w):
+        return [
             fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False,
-                            wire="packed")
-        )
-        sizes.append(sz)
+                            wire=w, pack=(None if w != "plain" else False))
+            for c, _ in chunks()
+        ]
+
+    sizes = [sz for _, sz in chunks()]
+    plans = build_all(wire)
+    if wire == "delta" and any(p.delta is None for p in plans):
+        # a shard overflowed the fixed delta-exception width and fell
+        # back to packed: rebuild everything packed for a uniform stack
+        wire = "packed"
+        plans = build_all(wire)
     if any(p.poff is None for p in plans) and any(
         p.poff is not None for p in plans
     ):
-        # mixed wire formats across shards: rebuild all plain
-        plans = [
-            fm_trie.prepare(c, k, ftab, npad=Npad, to_device=False,
-                            pack=False, wire="plain")
-            for c, _ in chunks()
-        ]
+        # mixed packed/plain across shards: rebuild all plain
+        wire = "plain"
+        plans = build_all(wire)
     packed = plans[0].poff is not None
+    delta = plans[0].delta is not None
     sharding = NamedSharding(mesh, P("data"))
 
     def stack(field):
@@ -166,10 +196,11 @@ def prepare_trie_sharded(
             np.stack([getattr(p, field) for p in plans]), sharding
         )
 
+    lo0 = hi0 = None
     if plans[0].lo0 is not None:
         lo0 = stack("lo0")
         hi0 = stack("hi0")
-    else:
+    elif not (delta and plans[0].row_delta is not None):
         lo0 = put_global(
             np.zeros((D, Npad), dtype=np.int32), sharding
         )
@@ -177,8 +208,8 @@ def prepare_trie_sharded(
             np.full((D, Npad), n_text, dtype=np.int32), sharding
         )
     return ShardedPreparedTrie(
-        parents=None if packed else stack("parents"),
-        chars=None if packed else stack("chars"),
+        parents=stack("parents") if plans[0].parents is not None else None,
+        chars=stack("chars") if plans[0].chars is not None else None,
         poff=stack("poff") if packed else None,
         pbase=stack("pbase") if packed else None,
         charpk=stack("charpk") if packed else None,
@@ -188,7 +219,88 @@ def prepare_trie_sharded(
         sizes=tuple(sizes),
         per=per,
         n=N,
+        delta=stack("delta") if delta else None,
+        dmeta=stack("dmeta") if delta else None,
+        dexc=stack("dexc") if delta else None,
+        row_delta=(
+            stack("row_delta")
+            if delta and plans[0].row_delta is not None else None
+        ),
+        row_exc=(
+            stack("row_exc")
+            if delta and plans[0].row_exc is not None else None
+        ),
     )
+
+
+def _sharded_trie_device(
+    mesh: Mesh,
+    arrays_r,
+    prepared: ShardedPreparedTrie,
+    use_pallas: bool,
+    interpret: bool,
+    ftab_tab: Optional[jax.Array] = None,
+    with_counts: bool = False,
+):
+    """One shard_map dispatch of the trie level kernels over the
+    per-device plans (any wire format). Returns sharded (lo, hi[,
+    counts]) with leading shard axis; results stay DEVICE-RESIDENT for
+    chaining."""
+    from psi_tpu.ops import fm_trie
+
+    packed = prepared.poff is not None
+    delta = prepared.delta is not None
+
+    if delta:
+        args = [prepared.delta, prepared.dmeta, prepared.dexc]
+        if prepared.row_delta is not None:
+            args += [prepared.row_delta, prepared.row_exc]
+        else:
+            args += [prepared.lo0, prepared.hi0]
+
+        def local(delta_d, dmeta_d, dexc_d, a4, a5):
+            has_rows = prepared.row_delta is not None
+            return fm_trie._trie_device(
+                arrays_r, delta_d[0], dmeta_d[0],
+                use_pallas=use_pallas, interpret=interpret,
+                lo0=None if has_rows else a4[0],
+                hi0=None if has_rows else a5[0],
+                delta_wire=True, dexc=dexc_d[0],
+                ftab_tab=ftab_tab if has_rows else None,
+                row_delta=a4[0] if has_rows else None,
+                row_exc=a5[0] if has_rows else None,
+                with_counts=with_counts,
+            )
+    elif packed:
+        args = [prepared.poff, prepared.pbase, prepared.charpk,
+                prepared.lo0, prepared.hi0]
+
+        def local(poff_d, pbase_d, charpk_d, lo0_d, hi0_d):
+            return fm_trie._trie_device(
+                arrays_r, poff_d[0], charpk_d[0],
+                use_pallas=use_pallas, interpret=interpret,
+                lo0=lo0_d[0], hi0=hi0_d[0], pbase=pbase_d[0], packed=True,
+                with_counts=with_counts,
+            )
+    else:
+        args = [prepared.parents, prepared.chars,
+                prepared.lo0, prepared.hi0]
+
+        def local(parents_d, chars_d, lo0_d, hi0_d):
+            return fm_trie._trie_device(
+                arrays_r, parents_d[0], chars_d[0],
+                use_pallas=use_pallas, interpret=interpret,
+                lo0=lo0_d[0], hi0=hi0_d[0],
+                with_counts=with_counts,
+            )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"),) * len(args),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return fn(*args)
 
 
 def sharded_trie_search(
@@ -203,16 +315,14 @@ def sharded_trie_search(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Data-parallel trie-batched search (ops/fm_trie.py): sorted
     distinct keys split into contiguous per-device chunks (each stays
-    sorted), per-shard host schedules (packed wire format, optionally
-    ftab-seeded) stacked and sharded over "data", index replicated;
-    shard_map runs the frontier kernels per device.
+    sorted), per-shard host schedules (delta/packed/plain wire,
+    optionally ftab-seeded) stacked and sharded over "data", index
+    replicated; shard_map runs the frontier kernels per device.
 
     Returns (lo, hi) int32 [N] in key order. This IS the production
     on-path route when SeedFinder runs with a multi-device mesh
     (ref: src/psikt.cpp:183-209 chunk loop, scaled out per SURVEY §2.3).
     """
-    from psi_tpu.ops import fm_trie
-
     if prepared is None:
         prepared = prepare_trie_sharded(
             mesh, keys, k, stream_arrays.n, ftab
@@ -220,37 +330,15 @@ def sharded_trie_search(
     D = mesh.shape["data"]
     N = prepared.n
     per = prepared.per
-    packed = prepared.poff is not None
     arrays_r = replicate(mesh, stream_arrays)
-
-    if packed:
-        args = (prepared.poff, prepared.pbase, prepared.charpk,
-                prepared.lo0, prepared.hi0)
-
-        def local(poff_d, pbase_d, charpk_d, lo0_d, hi0_d):
-            return fm_trie._trie_device(
-                arrays_r, poff_d[0], charpk_d[0],
-                use_pallas=use_pallas, interpret=interpret,
-                lo0=lo0_d[0], hi0=hi0_d[0], pbase=pbase_d[0], packed=True,
-            )
-    else:
-        args = (prepared.parents, prepared.chars,
-                prepared.lo0, prepared.hi0)
-
-        def local(parents_d, chars_d, lo0_d, hi0_d):
-            return fm_trie._trie_device(
-                arrays_r, parents_d[0], chars_d[0],
-                use_pallas=use_pallas, interpret=interpret,
-                lo0=lo0_d[0], hi0=hi0_d[0],
-            )
-
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P("data"),) * len(args),
-        out_specs=P("data"),
-        check_vma=False,
+    ftab_tab = None
+    if prepared.row_delta is not None:
+        ftab_tab = replicate(
+            mesh, jnp.asarray(np.asarray(ftab, dtype=np.int32))
+        )
+    lo, hi = _sharded_trie_device(
+        mesh, arrays_r, prepared, use_pallas, interpret, ftab_tab
     )
-    lo, hi = fn(*args)
     if jax.process_count() > 1:
         # DCN-spanning mesh: gather every process's data-shard results
         from jax.experimental import multihost_utils
@@ -270,7 +358,58 @@ def sharded_trie_search(
     return out_lo, out_hi
 
 
-def sharded_traverse(
+def sharded_expand_locate(
+    mesh: Mesh,
+    sa_r: jax.Array,
+    str_starts_r: jax.Array,
+    lengths_r: jax.Array,
+    seq_off_r: jax.Array,
+    lo_d: jax.Array,
+    hi_d: jax.Array,
+    n_leaves: np.ndarray,
+    thr: int,
+    k: int,
+    cap: int,
+) -> np.ndarray:
+    """The device-chained occurrence expansion + locate, per shard: each
+    device expands its own DEVICE-RESIDENT (lo, hi) ranges against the
+    replicated SA and downloads one int32 global position per hit
+    (gpos-only download — the round-3 chain's transfer profile, now on
+    the mesh). Returns np int32 [D, cap]."""
+    from psi_tpu.ops import fm_trie
+
+    from psi_tpu.parallel.distributed import put_global
+
+    D = mesh.shape["data"]
+    nl = put_global(
+        np.asarray(n_leaves, dtype=np.int32).reshape(D),
+        NamedSharding(mesh, P("data")),
+    )
+    thr_a = jnp.asarray(thr, dtype=jnp.int32)
+
+    def local(lo_l, hi_l, nl_l):
+        # lo/hi arrive as the flat [D*Npad] stack's local [Npad] slice
+        gpos, total = fm_trie._expand_locate_device(
+            sa_r, str_starts_r, lengths_r, seq_off_r,
+            lo_l, hi_l, nl_l[0], thr_a, k, cap,
+        )
+        return gpos[None]
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    gpos = fn(lo_d, hi_d, nl)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gpos = multihost_utils.process_allgather(gpos, tiled=True)
+    return np.asarray(gpos)
+
+
+def sharded_traverse_dispatch(
     mesh: Mesh,
     graph_arrays,
     seeds_arrays,
@@ -280,15 +419,15 @@ def sharded_traverse(
     cap_local: int,
     max_mm: int = 0,
 ):
-    """Data-parallel off-path traversal: starting loci split into
-    contiguous per-device chunks; every device runs the frontier
-    traverser (ops/traverse.py) over its loci against the replicated
-    graph + seed index. The per-locus fork trees are independent, so
-    results concatenate exactly (HOT LOOP #2 scaled out,
-    ref: traverser_bfs.hpp:72-164).
-
-    Returns (locus_idx[global], lo, hi, n_used[D], overflow[D],
-    tstats[D, 3]) with per-shard arrays of width cap_local."""
+    """Asynchronously dispatch the data-parallel off-path traversal:
+    starting loci split into contiguous per-device chunks; every device
+    runs the frontier traverser (ops/traverse.py) over its loci against
+    the replicated graph + seed index. The per-locus fork trees are
+    independent, so results concatenate exactly (HOT LOOP #2 scaled
+    out, ref: traverser_bfs.hpp:72-164). Returns an opaque handle for
+    sharded_traverse_collect — JAX dispatch is async, so the device
+    work overlaps whatever the host does before collecting (the same
+    overlap the single-device route gets from _traverse_dispatch)."""
     from psi_tpu.ops import traverse as trav
 
     from psi_tpu.parallel.distributed import put_global
@@ -329,10 +468,18 @@ def sharded_traverse(
         out_specs=(P("data"),) * 6,
         check_vma=False,
     )
-    li, lo, hi, nu, ov, ts = fn(
+    out = fn(
         put_global(sn, sharding), put_global(so, sharding),
         put_global(ni, sharding),
     )
+    return (out, D, per)
+
+
+def sharded_traverse_collect(pending):
+    """Fetch a sharded_traverse_dispatch result. Returns (locus_idx
+    [global ids], lo, hi, n_used[D], overflow[D], tstats[D, 3]) with
+    per-shard arrays of width cap_local."""
+    (li, lo, hi, nu, ov, ts), D, per = pending
     if jax.process_count() > 1:
         # DCN-spanning mesh: gather every process's loci-shard results
         from jax.experimental import multihost_utils
@@ -348,3 +495,20 @@ def sharded_traverse(
         li, np.asarray(lo), np.asarray(hi),
         np.asarray(nu), np.asarray(ov), np.asarray(ts),
     )
+
+
+def sharded_traverse(
+    mesh: Mesh,
+    graph_arrays,
+    seeds_arrays,
+    start_nodes: np.ndarray,
+    start_offs: np.ndarray,
+    k: int,
+    cap_local: int,
+    max_mm: int = 0,
+):
+    """Synchronous dispatch + collect (see sharded_traverse_dispatch)."""
+    return sharded_traverse_collect(sharded_traverse_dispatch(
+        mesh, graph_arrays, seeds_arrays, start_nodes, start_offs,
+        k, cap_local, max_mm,
+    ))

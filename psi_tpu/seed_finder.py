@@ -658,6 +658,144 @@ class SeedFinder:
             )
         return lo[inv], hi[inv]
 
+    def _chain_join(self, counts, emit, inv, occ_start_u, gpos_stream):
+        """The deterministic seed join shared by the single-device and
+        sharded chains: the device's gpos stream is ordered by (pattern
+        slot, SA rank) — per-uniq segments are located from counts
+        alone, then mapped to (node, offset) by one host searchsorted."""
+        pm = self._path_map
+        emit_idx = np.nonzero(emit)[0]
+        widths = counts[emit]
+        total = int(widths.sum())
+        occ_rows = np.repeat(np.arange(len(widths)), widths)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(widths) - widths, widths
+        )
+        u_per = inv[emit_idx][occ_rows]
+        gpos = gpos_stream[occ_start_u[u_per] + within]
+        entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
+        node_ids = pm["ids"][entry]
+        node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
+        return emit_idx, occ_rows, node_ids, node_offs
+
+    def _get_mesh_repl(self, mesh, name: str, build):
+        """Per-mesh cache of replicated device arrays (index arrays are
+        uploaded once, not per chunk)."""
+        cache = getattr(self, "_mesh_repl", None)
+        if cache is None:
+            cache = {}
+            self._mesh_repl = cache
+        key = (id(mesh), name)
+        if key not in cache:
+            from psi_tpu.parallel.mesh import replicate
+
+            cache[key] = replicate(mesh, build())
+        return cache[key]
+
+    def _onpath_chain_sharded(self, index, search_keys, thr: int, mesh):
+        """The device-chained on-path route on a multi-device mesh: one
+        shard_map runs the trie kernels per device over the per-shard
+        plans (delta wire by default), ONLY counts come down, and a
+        second shard_map expands + locates each shard's device-resident
+        ranges against the replicated SA (gpos-only download per
+        device). Same transfer profile per chip as the single-chip
+        chain — the fast path and the scaled path are the same path."""
+        import jax
+        import jax.numpy as jnp
+
+        from psi_tpu.parallel import mesh as mesh_mod
+
+        k = self.seed_len
+        prep = getattr(index, "_onpath_prep", None)
+        if prep is not None and not isinstance(
+            prep[2], mesh_mod.ShardedPreparedTrie
+        ):
+            prep = None
+        if prep is not None:
+            uniq, inv, prepared = prep
+        else:
+            uniq, inv = np.unique(search_keys, return_inverse=True)
+            prepared = mesh_mod.prepare_trie_sharded(
+                mesh, uniq, k, self.pindex.fm.size, self._get_ftab()
+            )
+        on_tpu = jax.default_backend() not in ("cpu",)
+        sarr_r = self._get_mesh_repl(
+            mesh, "sarr", self._get_stream_arrays
+        )
+        ftab_tab_r = None
+        if prepared.row_delta is not None:
+            ftab_tab_r = self._get_mesh_repl(
+                mesh, "ftab",
+                lambda: jnp.asarray(self._get_ftab().astype(np.int32)),
+            )
+        lo_d, hi_d, counts_d = mesh_mod._sharded_trie_device(
+            mesh, sarr_r, prepared, on_tpu, False, ftab_tab_r,
+            with_counts=True,
+        )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts_d = multihost_utils.process_allgather(
+                counts_d, tiled=True
+            )
+        D = mesh.shape["data"]
+        counts2 = np.asarray(counts_d).reshape(D, -1)
+        Npad = counts2.shape[1]
+        per = prepared.per
+        N = prepared.n
+        counts_u = np.zeros(N, dtype=np.int64)
+        for d in range(D):
+            if prepared.sizes[d]:
+                sl = slice(d * per, d * per + prepared.sizes[d])
+                counts_u[sl] = counts2[d][prepared.leaf_perms[d]]
+        counts = counts_u[inv].astype(np.int64)
+        thr32 = int(min(thr, np.iinfo(np.int32).max))
+        emit = (counts > 0) & (counts <= thr32)
+
+        def occurrences():
+            w2 = np.zeros((D, Npad), dtype=np.int64)
+            for d in range(D):
+                valid_d = np.arange(Npad) < prepared.sizes[d]
+                w2[d] = np.where(
+                    valid_d & (counts2[d] > 0) & (counts2[d] <= thr32),
+                    counts2[d], 0,
+                )
+            tot_d = w2.sum(axis=1)
+            emit_idx = np.nonzero(emit)[0]
+            if not int(tot_d.sum()):
+                z = np.zeros(0, dtype=np.int64)
+                return emit_idx, z, z, z
+            cap = max(16, 1 << (int(tot_d.max()) - 1).bit_length())
+            maps = self._get_map_arrays()
+            sa_r = self._get_mesh_repl(
+                mesh, "sa", lambda: self._get_fm_arrays().sa
+            )
+            maps_r = self._get_mesh_repl(
+                mesh, "maps",
+                lambda: (maps.str_starts, maps.lengths, maps.seq_off),
+            )
+            gpos2 = mesh_mod.sharded_expand_locate(
+                mesh, sa_r, maps_r[0], maps_r[1], maps_r[2],
+                lo_d, hi_d, np.asarray(prepared.sizes), thr32, k, cap,
+            )
+            base_d = np.cumsum(tot_d) - tot_d
+            gpos_stream = np.concatenate(
+                [gpos2[d, : tot_d[d]] for d in range(D)]
+            ).astype(np.int64)
+            occ_start_u = np.zeros(N, dtype=np.int64)
+            for d in range(D):
+                if prepared.sizes[d]:
+                    sl = slice(d * per, d * per + prepared.sizes[d])
+                    occ_start_u[sl] = (
+                        (np.cumsum(w2[d]) - w2[d])[prepared.leaf_perms[d]]
+                        + base_d[d]
+                    )
+            return self._chain_join(
+                counts, emit, inv, occ_start_u, gpos_stream
+            )
+
+        return counts, emit, occurrences
+
     def _onpath_chain(self, index, search_keys: np.ndarray, thr: int):
         """Fully device-chained on-path route: trie search -> counts-only
         download -> device occurrence expansion + locate over the
@@ -666,7 +804,8 @@ class SeedFinder:
         transfer levers; the reference's comparable cost is the locate
         loop of seed_finder.hpp:1426-1457). Returns (counts[search
         order], emit mask, fn -> (emit_idx, occ_rows, node_ids,
-        node_offs)), or None when the chain does not apply."""
+        node_offs)), or None when the chain does not apply. Runs the
+        sharded variant whenever a mesh is active."""
         import jax
         import jax.numpy as jnp
 
@@ -674,6 +813,9 @@ class SeedFinder:
 
         if self.pindex.fm is None or self.pindex.fm.size == 0:
             return None
+        mesh = self._get_mesh()
+        if mesh is not None:
+            return self._onpath_chain_sharded(index, search_keys, thr, mesh)
         k = self.seed_len
         prep = getattr(index, "_onpath_prep", None)
         if prep is not None and not isinstance(
@@ -737,7 +879,6 @@ class SeedFinder:
         emit = (counts > 0) & (counts <= thr32)
 
         def occurrences():
-            pm = self._path_map
             Npad = counts_pat.shape[0]
             # real (non-padding) leaf slots are exactly [0, n_leaves):
             # _pad_level appends padding after the last real child
@@ -748,10 +889,9 @@ class SeedFinder:
                 counts_pat, 0,
             ).astype(np.int64)
             total_u = int(w_pat.sum())
-            emit_idx = np.nonzero(emit)[0]
             if total_u == 0:
                 z = np.zeros(0, dtype=np.int64)
-                return emit_idx, z, z, z
+                return np.nonzero(emit)[0], z, z, z
             cap = max(16, 1 << (total_u - 1).bit_length())
             maps = self._get_map_arrays()
             gpos_pad, _ = fm_trie._expand_locate_device(
@@ -762,21 +902,10 @@ class SeedFinder:
                 k, cap,
             )
             gpos_stream = np.asarray(gpos_pad)[:total_u].astype(np.int64)
-            # join: the device stream is ordered by (pattern slot, SA
-            # rank); per-uniq segments are located from counts alone
             occ_start_u = (np.cumsum(w_pat) - w_pat)[leaf_perm]
-            widths = counts[emit]
-            total = int(widths.sum())
-            occ_rows = np.repeat(np.arange(len(widths)), widths)
-            within = np.arange(total) - np.repeat(
-                np.cumsum(widths) - widths, widths
+            return self._chain_join(
+                counts, emit, inv, occ_start_u, gpos_stream
             )
-            u_per = inv[emit_idx][occ_rows]
-            gpos = gpos_stream[occ_start_u[u_per] + within]
-            entry = np.searchsorted(pm["starts"], gpos, side="right") - 1
-            node_ids = pm["ids"][entry]
-            node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
-            return emit_idx, occ_rows, node_ids, node_offs
 
         return counts, emit, occurrences
 
@@ -861,11 +990,7 @@ class SeedFinder:
         pm = self._path_map
 
         chain = None
-        if (
-            self._stream_enabled()
-            and self._device_locate_enabled()
-            and self._get_mesh() is None
-        ):
+        if self._stream_enabled() and self._device_locate_enabled():
             chain = self._onpath_chain(index, search_keys, thr)
         if chain is not None:
             counts, emit, row_per_occ_fn = chain
@@ -1268,22 +1393,17 @@ class SeedFinder:
 
         if not self.starting_loci or index.size == 0:
             return None
-        g = self._get_graph_arrays()
-        sa = trav.seeds_to_device(index)
-        mesh = self._get_mesh()
-        if mesh is not None:
-            return self._traverse_sharded_columns(index, g, sa, mesh)
-        cap = max(1 << 15, 1 << (len(self.starting_loci) - 1).bit_length())
-        pending = self._traverse_dispatch(index, g, sa, cap)
+        pending = self._traverse_dispatch(index)
         return self._traverse_collect(index, pending)
 
     def _traverse_dispatch(self, index: SeedsIndex, g=None, sa=None,
                            cap: int | None = None):
         """Issue the off-path traversal asynchronously (one dispatch,
         ONE packed fetch later — over a tunneled chip the six per-array
-        round trips were most of the off-path per-chunk cost). Returns
-        an opaque (device array, cap, g, sa) handle for
-        _traverse_collect, or None when off-path does not apply."""
+        round trips were most of the off-path per-chunk cost). Under a
+        mesh, dispatches the loci-sharded traversal instead (same async
+        overlap). Returns an opaque tagged handle for _traverse_collect,
+        or None when off-path does not apply."""
         import jax.numpy as jnp
 
         from psi_tpu.ops import traverse as trav
@@ -1294,6 +1414,21 @@ class SeedFinder:
             g = self._get_graph_arrays()
         if sa is None:
             sa = trav.seeds_to_device(index)
+        mesh = self._get_mesh()
+        if mesh is not None:
+            from psi_tpu.parallel.mesh import sharded_traverse_dispatch
+
+            n = len(self.starting_loci)
+            D = mesh.shape["data"]
+            per = max(-(-n // D), 1)
+            if cap is None:
+                cap = max(1 << 12, 1 << (per - 1).bit_length())
+            sn, so = self._get_loci_np()
+            handle = sharded_traverse_dispatch(
+                mesh, g, sa, sn, so, self.seed_len, cap,
+                max_mm=self.seed_mismatches,
+            )
+            return ("mesh", handle, cap, g, sa, mesh)
         if cap is None:
             cap = max(
                 1 << 15, 1 << (len(self.starting_loci) - 1).bit_length()
@@ -1305,7 +1440,7 @@ class SeedFinder:
             jnp.asarray(n, dtype=jnp.int32),
             self.seed_len, cap, self.seed_mismatches,
         )
-        return (packed_d, cap, g, sa)
+        return ("single", packed_d, cap, g, sa)
 
     def _traverse_collect(self, index: SeedsIndex, pending):
         """Fetch a _traverse_dispatch result (retrying with a doubled
@@ -1314,7 +1449,9 @@ class SeedFinder:
 
         if pending is None:
             return None
-        packed_d, cap, g, sa = pending
+        if pending[0] == "mesh":
+            return self._traverse_collect_sharded(index, pending)
+        _, packed_d, cap, g, sa = pending
         while True:
             packed = np.asarray(packed_d)
             locus_idx = packed[:cap]
@@ -1324,7 +1461,7 @@ class SeedFinder:
             tstats_dev = packed[3 * cap + 2:]
             if overflow:
                 cap *= 2
-                packed_d, cap, g, sa = self._traverse_dispatch(
+                _, packed_d, cap, g, sa = self._traverse_dispatch(
                     index, g, sa, cap
                 )
                 continue
@@ -1345,56 +1482,24 @@ class SeedFinder:
             self.seed_len,
         )
 
-    def _get_loci_device(self, cap: int):
-        """Device-resident starting loci, padded to `cap` (the loci are
-        fixed per finder — upload once per cap bucket, not per chunk)."""
-        import jax.numpy as jnp
-
-        n = len(self.starting_loci)
-        cache = getattr(self, "_loci_dev", None)
-        if cache is None or cache.get("n") != n:
-            sn = np.zeros(n, dtype=np.int32)
-            so = np.zeros(n, dtype=np.int32)
-            for i, l in enumerate(self.starting_loci):
-                sn[i] = l.node_id()
-                so[i] = l.offset()
-            cache = {"n": n, "np": (sn, so), "dev": {}}
-            self._loci_dev = cache
-        dev = cache["dev"].get(cap)
-        if dev is None:
-            sn, so = cache["np"]
-            snp = np.zeros(cap, dtype=np.int32)
-            sop = np.zeros(cap, dtype=np.int32)
-            snp[:n] = sn
-            sop[:n] = so
-            dev = (jnp.asarray(snp), jnp.asarray(sop))
-            cache["dev"][cap] = dev
-        return dev
-
-    def _traverse_sharded_columns(self, index: SeedsIndex, g, sa, mesh):
-        """Off-path traversal data-parallel over starting loci: loci
-        split contiguously across the mesh, graph + seed index
-        replicated (per-locus fork trees are independent, so shard
-        results concatenate exactly; HOT LOOP #2 scaled out)."""
+    def _traverse_collect_sharded(self, index: SeedsIndex, pending):
+        """Fetch a mesh-mode _traverse_dispatch result (cap-doubling
+        retry per overflow) and assemble the columnar survivors."""
         from psi_tpu.ops import traverse as trav
-        from psi_tpu.parallel.mesh import sharded_traverse
+        from psi_tpu.parallel.mesh import (
+            sharded_traverse_collect, sharded_traverse_dispatch,
+        )
 
-        n = len(self.starting_loci)
-        D = mesh.shape["data"]
-        per = max(-(-n // D), 1)
-        start_nodes = np.zeros(n, dtype=np.int32)
-        start_offs = np.zeros(n, dtype=np.int32)
-        for i, l in enumerate(self.starting_loci):
-            start_nodes[i] = l.node_id()
-            start_offs[i] = l.offset()
-        cap_local = max(1 << 12, 1 << (per - 1).bit_length())
+        _, handle, cap_local, g, sa, mesh = pending
+        sn, so = self._get_loci_np()
         while True:
-            li, lo, hi, nu, ov, ts = sharded_traverse(
-                mesh, g, sa, start_nodes, start_offs,
-                self.seed_len, cap_local, max_mm=self.seed_mismatches,
-            )
+            li, lo, hi, nu, ov, ts = sharded_traverse_collect(handle)
             if ov.any():
                 cap_local *= 2
+                handle = sharded_traverse_dispatch(
+                    mesh, g, sa, sn, so, self.seed_len, cap_local,
+                    max_mm=self.seed_mismatches,
+                )
                 continue
             break
         if not self.seed_mismatches:
@@ -1418,6 +1523,38 @@ class SeedFinder:
             index, self.starting_loci, keep_li, keep_lo, keep_hi,
             self.seed_len,
         )
+
+    def _get_loci_np(self):
+        """Host-side starting-loci arrays (cached per loci set)."""
+        n = len(self.starting_loci)
+        cache = getattr(self, "_loci_dev", None)
+        if cache is None or cache.get("n") != n:
+            sn = np.zeros(n, dtype=np.int32)
+            so = np.zeros(n, dtype=np.int32)
+            for i, l in enumerate(self.starting_loci):
+                sn[i] = l.node_id()
+                so[i] = l.offset()
+            cache = {"n": n, "np": (sn, so), "dev": {}}
+            self._loci_dev = cache
+        return cache["np"]
+
+    def _get_loci_device(self, cap: int):
+        """Device-resident starting loci, padded to `cap` (the loci are
+        fixed per finder — upload once per cap bucket, not per chunk)."""
+        import jax.numpy as jnp
+
+        sn, so = self._get_loci_np()
+        n = len(self.starting_loci)
+        cache = self._loci_dev
+        dev = cache["dev"].get(cap)
+        if dev is None:
+            snp = np.zeros(cap, dtype=np.int32)
+            sop = np.zeros(cap, dtype=np.int32)
+            snp[:n] = sn
+            sop[:n] = so
+            dev = (jnp.asarray(snp), jnp.asarray(sop))
+            cache["dev"][cap] = dev
+        return dev
 
     @staticmethod
     def _off_cols_to_arrays(seeds: SeedSet, cols):
@@ -1446,12 +1583,10 @@ class SeedFinder:
         The off-path traversal is DISPATCHED first (async) and fetched
         after the on-path route completes, so its device time overlaps
         the on-path transfers and host joins — one chunk pays
-        max(on-path, off-path) device time, not the sum."""
+        max(on-path, off-path) device time, not the sum (single-device
+        and mesh alike)."""
         pending = None
-        if (
-            self.starting_loci and index.size
-            and self._get_mesh() is None
-        ):
+        if self.starting_loci and index.size:
             with self.stats.timeit_ts("seeds-off-path"):
                 pending = self._traverse_dispatch(index)
         parts = [self.seeds_on_paths_arrays(seeds, index)]

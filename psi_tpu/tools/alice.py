@@ -6,6 +6,7 @@ precision/recall vs a ground-truth GAF)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -288,9 +289,11 @@ def cmd_dstats(args) -> int:
         )
 
     ok = ea_ok & sb_ok
-    verified = idx.verify_batch(
-        graph, ea_n[ok], ea_o[ok], sb_n[ok], sb_o[ok]
-    )
+    # PSI_DINDEX_DEVICE=1 routes the pair probe through the device
+    # (ops/dindex_probe.py) — the DiVerG accelerator offload analogue
+    use_dev = os.environ.get("PSI_DINDEX_DEVICE", "") not in ("", "0")
+    vb = idx.verify_batch_device if use_dev else idx.verify_batch
+    verified = vb(graph, ea_n[ok], ea_o[ok], sb_n[ok], sb_o[ok])
     n_pairs = int(ok.sum())
     accept = int(verified.sum())
     reject = n_pairs - accept

@@ -55,6 +55,35 @@ def test_super_dp_matches_bfs_oracle(seed):
         ) == bool(got[i])
 
 
+@pytest.mark.parametrize("variant", ["sort", "bisect"])
+def test_device_probe_matches_host(variant):
+    """Both device probe formulations (ops/dindex_probe.py) agree with
+    the host searchsorted probe on random DAG pair batches, including
+    same-supernode arithmetic, misses, and out-of-window queries."""
+    rng = np.random.RandomState(17)
+    n = 150
+    g = _random_dag(rng, n)
+    dmin, dmax = 5, 90
+    idx = DistanceIndex.build(g, dmin, dmax)
+    M = 4000
+    ids = np.arange(1, n + 1)
+    v = ids[rng.randint(0, n, M)]
+    u = ids[rng.randint(0, n, M)]
+    nl = np.diff(g.label_offsets)
+    o = (rng.rand(M) * nl[v - 1]).astype(np.int64)
+    p = (rng.rand(M) * nl[u - 1]).astype(np.int64)
+    host = idx.verify_batch(g, v, o, u, p)
+    import os
+
+    os.environ["PSI_DINDEX_PROBE"] = variant
+    try:
+        dev = idx.verify_batch_device(g, v, o, u, p)
+    finally:
+        del os.environ["PSI_DINDEX_PROBE"]
+    assert host.any()
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_super_dp_python_mirror(monkeypatch):
     """The pure-Python DP (native disabled) matches the native rows."""
     rng = np.random.RandomState(9)

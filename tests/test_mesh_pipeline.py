@@ -140,6 +140,77 @@ def test_env_devices_selection(monkeypatch):
     assert finder2._get_mesh() is None
 
 
+def test_sharded_trie_delta_wire(monkeypatch):
+    """The delta wire on the sharded route (round-4 unification): per-
+    shard uint8 parent-gap schedules + in-device derive must match the
+    packed wire bit-exactly, with and without the ftab row seed."""
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops import fm as fm_ops
+    from psi_tpu.ops import fm_stream
+    from psi_tpu.parallel.mesh import (
+        device_mesh, prepare_trie_sharded, sharded_trie_search,
+    )
+
+    rng = np.random.RandomState(27)
+    s = "".join(rng.choice(list("ACGT"), size=60_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    sarr = fm_stream.build_stream_arrays(fm)
+    k = 12
+    keys = np.unique(rng.randint(0, 4 ** k, size=4000).astype(np.uint64))
+    mesh = device_mesh(jax.device_count())
+    for ftab in (None, fm_ops.build_ftab(fm, 5)):
+        p_packed = prepare_trie_sharded(
+            mesh, keys, k, fm.size, ftab, wire="packed"
+        )
+        p_delta = prepare_trie_sharded(
+            mesh, keys, k, fm.size, ftab, wire="delta"
+        )
+        assert p_delta.delta is not None
+        lo1, hi1 = sharded_trie_search(
+            mesh, sarr, keys, k, ftab=ftab, prepared=p_packed
+        )
+        lo2, hi2 = sharded_trie_search(
+            mesh, sarr, keys, k, ftab=ftab, prepared=p_delta
+        )
+        np.testing.assert_array_equal(hi1 - lo1, hi2 - lo2)
+        nz = hi1 > lo1
+        assert nz.any()
+        np.testing.assert_array_equal(lo1[nz], lo2[nz])
+
+
+def test_seedfinder_mesh_chain_bitidentical(monkeypatch):
+    """The device-chained on-path route ON THE MESH (counts-only
+    download + per-shard expand/locate) is bit-identical to the
+    single-device chain, across wire formats and gocc thresholds."""
+    monkeypatch.setenv("PSI_STREAM", "1")
+    monkeypatch.setenv("PSI_DEVICE_LOCATE", "1")
+    rng = np.random.RandomState(9)
+    g, seq = _branchy_graph(rng)
+
+    def run(devices, thr=0):
+        finder = SeedFinder(g, seed_len=12, devices=devices,
+                            gocc_threshold=thr)
+        finder.create_path_index(n=1, patched=False)
+        finder.add_uncovered_loci()
+        reads = Records(
+            [f"r{i}" for i in range(48)],
+            [seq[i * 43: i * 43 + 60] for i in range(48)],
+        )
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        finder.prepare_onpath(index)
+        hits = finder.seeds_all_arrays(seeds, index)
+        return np.sort(hits, order=SORT_ORDER)
+
+    for wire in ("delta", "packed"):
+        monkeypatch.setenv("PSI_TRIE_WIRE", wire)
+        for thr in (0, 2):
+            single = run(1, thr)
+            multi = run("auto", thr)
+            assert len(single) > 0
+            np.testing.assert_array_equal(single, multi), (wire, thr)
+
+
 def test_sharded_trie_plain_wire(monkeypatch):
     """uint16-overflow fallback: the sharded route's plain-format
     branch must match the packed default bit-exactly."""

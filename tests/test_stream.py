@@ -37,6 +37,30 @@ def test_rank_stream_matches_host():
         assert got[i] == expect, (i, pos[i], chars[i])
 
 
+def test_rank4_mxu_matches_host(monkeypatch):
+    """The MXU one-hot rank4 kernel (PSI_RANK4=mxu) is exact vs host
+    ranks, including plane words with the sign bit set and positions
+    scattered across many windows."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(13)
+    fm, _ = _random_fm(rng, n_strings=3, lo=3000, hi=9000)
+    arrays = fm_stream.build_stream_arrays(fm)
+    M = fm_stream.QTILE
+    pos = np.sort(rng.randint(0, fm.size + 1, size=M)).astype(np.int32)
+    monkeypatch.setenv("PSI_RANK4", "mxu")
+    out = np.asarray(
+        fm_stream.rank4_stream(arrays, jnp.asarray(pos), interpret=True)
+    ).reshape(-1, 4, fm_stream.QROWS, fm_stream.WB)
+    # undo the slab layout: query q of slab s is out[s, :, q//128, q%128]
+    got = np.moveaxis(out, 1, 3).reshape(-1, 4)  # [M, 4]
+    bwt = fm.bwt
+    for i in rng.choice(M, 200, replace=False):
+        for c in range(1, 5):
+            expect = int(np.count_nonzero(bwt[: pos[i]] == c))
+            assert got[i, c - 1] == expect, (i, pos[i], c)
+
+
 def test_backward_search_sorted_matches_generic():
     rng = np.random.RandomState(8)
     fm, strings = _random_fm(rng)
