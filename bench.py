@@ -195,12 +195,12 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 done_q.put(None)
                 return
             ci, seeds, index, nkeys = item
-            arr = finder.seeds_on_paths_arrays(seeds, index)
-            off = finder.seeds_off_paths_arrays(seeds, index)
+            # seeds_all_arrays overlaps the off-path dispatch under the
+            # on-path route and (eager chain) fuses its fetch into the
+            # on-path round trip
+            arr, off = finder.seeds_all_arrays(seeds, index, split=True)
             done_q.put(
-                (ci, nkeys, index.size,
-                 0 if arr is None else len(arr),
-                 0 if off is None else len(off))
+                (ci, nkeys, index.size, len(arr), len(off))
             )
 
     threading.Thread(target=producer, daemon=True).start()

@@ -540,13 +540,17 @@ def _rank4_kernel_mxu(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
         C_si[r, q] = sum_b W[r, b] * (lbl[si, q] == b)
                    = win[r, lbl[si, q]]
 
-    i.e. W [16, 128] (the window's 7 payload components split into two
-    exact-in-f32 uint16 halves) times a [128, 128] one-hot built by one
+    i.e. W [32, 128] (the window's 7 payload components split into four
+    uint8 BYTE PLANES) times a [128, 128] one-hot built by one
     broadcast compare — the whole payload context of 128 queries lands
-    in one [16, 128] result. One-hot entries are exactly 0.0/1.0 and
-    each output is a single selected term <= 65535, so the f32 matmul
-    is EXACT at any text size (the halves recombine to the original
-    int32 bit pattern, including plane words with the sign bit set)."""
+    in one [32, 128] result. Operands are bf16: one-hot entries are
+    exactly 0.0/1.0 and byte-plane values <= 255 are exact in bf16's
+    8-bit mantissa, so the native-MXU bf16 matmul is EXACT at any text
+    size with no precision-mode dependence (an earlier uint16-half f32
+    formulation came back WRONG on v5e — Mosaic lowered the f32 matmul
+    through bf16 passes that truncate 16-bit values; byte planes are
+    immune by construction). The planes recombine to the original
+    int32 bit pattern, including plane words with the sign bit set."""
     neg1 = jnp.int32(-1)
     t = pl.program_id(0)
     nslabs_total = prefix.shape[0] - 1
@@ -614,27 +618,35 @@ def _rank4_kernel_mxu(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
             valid = (blk // WB) == w
             lbl = jnp.clip(blk - w * WB, 0, WB - 1)
 
-            # W [16, 128]: rows 0..6 = lo16 of payload components
-            # (occ A,C,G,T, plane 0..2), rows 7..13 = hi16, 14..15 pad
+            # W [32, 128]: byte plane b of payload component r at row
+            # 7*b + r (components: occ A,C,G,T, plane 0..2; rows 28..31
+            # pad). Byte values are exact in bf16.
             rows = winring[slot]                    # (16, 128) int32
             sel = jnp.concatenate([rows[1:5], rows[6:9]], axis=0)
-            lo16 = (sel & 0xFFFF).astype(jnp.float32)
-            hi16 = ((sel >> 16) & 0xFFFF).astype(jnp.float32)
             wf = jnp.concatenate(
-                [lo16, hi16, jnp.zeros((2, WB), jnp.float32)], axis=0
-            )
+                [
+                    sel & 255,
+                    (sel >> 8) & 255,
+                    (sel >> 16) & 255,
+                    (sel >> 24) & 255,
+                    jnp.zeros((4, WB), jnp.int32),
+                ],
+                axis=0,
+            ).astype(jnp.bfloat16)
             for si in range(QROWS):
                 oh = (
                     iota_b == jnp.broadcast_to(lbl[si: si + 1, :], (WB, WB))
-                ).astype(jnp.float32)
+                ).astype(jnp.bfloat16)
                 acc[si] = jnp.dot(
                     wf, oh, preferred_element_type=jnp.float32
                 )
 
             def comp(r):
-                lo_t = acc[:, r, :].astype(jnp.int32)
-                hi_t = acc[:, 7 + r, :].astype(jnp.int32)
-                return (hi_t << 16) | lo_t
+                b0 = acc[:, r, :].astype(jnp.int32)
+                b1 = acc[:, 7 + r, :].astype(jnp.int32)
+                b2 = acc[:, 14 + r, :].astype(jnp.int32)
+                b3 = acc[:, 21 + r, :].astype(jnp.int32)
+                return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
 
             occ = [comp(c) for c in range(4)]
             pw = [comp(4 + p) for p in range(3)]
@@ -788,7 +800,7 @@ def rank4_stream(
     if variant in ("flat", "mxu"):
         scratch.append(pltpu.SMEM((T * SLABS + 1,), jnp.int32))
     if variant == "mxu":
-        scratch.append(pltpu.VMEM((QROWS, PAYLOAD_ROWS, WB), jnp.float32))
+        scratch.append(pltpu.VMEM((QROWS, 32, WB), jnp.float32))
     kernel = {
         "mxu": _rank4_kernel_mxu,
         "flat": _rank4_kernel_flat,

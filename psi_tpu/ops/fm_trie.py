@@ -268,6 +268,50 @@ def _expand_locate_device(
     return jnp.where(live, gpos, -1), total
 
 
+@jax.jit
+def _pack24(gpos: jax.Array) -> jax.Array:
+    """Pack int32 global positions into three uint8 byte-planes (texts
+    < 2^24 - 1 chars): the gpos download drops from 4 to 3 B/hit and
+    the host slices the planes to the exact hit count."""
+    return jnp.stack([
+        (gpos & 255).astype(jnp.uint8),
+        ((gpos >> 8) & 255).astype(jnp.uint8),
+        ((gpos >> 16) & 255).astype(jnp.uint8),
+    ])
+
+
+def _unpack24(planes: np.ndarray) -> np.ndarray:
+    b = planes.astype(np.int64)
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
+@jax.jit
+def _chain_pack_small(counts, total, trav=None):
+    """One-fetch head of the eager chain: counts saturated to uint16
+    (two per int32 word; a saturation flag triggers the rare full
+    refetch), the expansion total, and optionally the off-path
+    traversal's packed result — so a chunk pays ONE fetch round trip
+    for everything except the gpos stream (which the host then slices
+    to the exact total)."""
+    c16 = jnp.minimum(counts, 65535)
+    w = c16[0::2] | (c16[1::2] << 16)
+    over = (jnp.max(counts) > 65535).astype(jnp.int32)
+    head = jnp.concatenate(
+        [w, jnp.stack([over, total.astype(jnp.int32)])]
+    )
+    if trav is not None:
+        head = jnp.concatenate([head, trav])
+    return head
+
+
+def _decode_counts16(words: np.ndarray, npad: int) -> np.ndarray:
+    w = words.view(np.uint32)
+    out = np.empty(npad, dtype=np.int64)
+    out[0::2] = w & 0xFFFF
+    out[1::2] = w >> 16
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

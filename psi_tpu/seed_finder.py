@@ -796,6 +796,96 @@ class SeedFinder:
 
         return counts, emit, occurrences
 
+    @staticmethod
+    def _chain_eager_enabled() -> bool:
+        """Eager single-fetch chain: on by default off-CPU (a tunneled
+        or PCIe chip pays per round trip; the eager flow folds counts,
+        expansion total and the off-path traversal into ONE fetch and
+        then slices the gpos stream to its exact size). PSI_CHAIN_EAGER
+        overrides (tests force it on the CPU backend)."""
+        env = os.environ.get("PSI_CHAIN_EAGER")
+        if env is not None:
+            return env not in ("", "0")
+        import jax
+
+        return jax.default_backend() != "cpu"
+
+    def _onpath_chain_eager(self, index, uniq, inv, leaf_perm,
+                            lo_d, hi_d, counts_d, thr32: int, k: int):
+        """Round-4 transfer profile: the occurrence expansion is
+        dispatched BEFORE any fetch with a sticky capacity hint, then
+        one packed fetch returns (uint16-saturated counts | saturation
+        flag | expansion total | off-path traversal) and a second,
+        exact-size fetch brings the gpos stream as 24-bit byte planes.
+        Two round trips per chunk total (vs counts + gpos + traversal
+        at ~25 ms each over the tunnel); the saturation/overflow
+        fallbacks re-fetch at full width (rare)."""
+        import jax.numpy as jnp
+
+        from psi_tpu.ops import fm_trie
+
+        Npad = int(counts_d.shape[0])
+        n_leaves = len(uniq)
+        maps = self._get_map_arrays()
+        fmsa = self._get_fm_arrays().sa
+        use24 = self.pindex.fm.size < (1 << 24) - 1
+        trav_d = getattr(index, "_trav_pack_d", None)
+        cap = getattr(self, "_chain_cap", 0)
+        if cap < 16:
+            cap = max(1 << 14, 2 * Npad)
+        while True:
+            gpos_d, total_d = fm_trie._expand_locate_device(
+                fmsa, maps.str_starts, maps.lengths, maps.seq_off,
+                lo_d, hi_d, jnp.asarray(n_leaves, dtype=jnp.int32),
+                jnp.asarray(thr32, dtype=jnp.int32), k, cap,
+            )
+            b24_d = fm_trie._pack24(gpos_d) if use24 else None
+            packed = np.asarray(
+                fm_trie._chain_pack_small(counts_d, total_d, trav_d)
+            )
+            nw = Npad // 2
+            over = int(packed[nw])
+            total = int(packed[nw + 1])
+            if trav_d is not None:
+                index._trav_pack_np = packed[nw + 2:]
+                index._trav_pack_d = None
+            if total <= cap:
+                break
+            cap = max(16, 1 << (total - 1).bit_length())
+        self._chain_cap = cap
+        if over:
+            counts_pat = np.asarray(counts_d).astype(np.int64)
+        else:
+            counts_pat = fm_trie._decode_counts16(packed[:nw], Npad)
+        counts_u = counts_pat[leaf_perm]
+        counts = counts_u[inv]
+        emit = (counts > 0) & (counts <= thr32)
+
+        def occurrences():
+            valid = np.arange(Npad) < n_leaves
+            w_pat = np.where(
+                valid & (counts_pat > 0) & (counts_pat <= thr32),
+                counts_pat, 0,
+            ).astype(np.int64)
+            total_u = int(w_pat.sum())
+            if total_u == 0:
+                z = np.zeros(0, dtype=np.int64)
+                return np.nonzero(emit)[0], z, z, z
+            if use24:
+                gpos_stream = fm_trie._unpack24(
+                    np.asarray(b24_d[:, :total_u])
+                )
+            else:
+                gpos_stream = np.asarray(
+                    gpos_d[:total_u]
+                ).astype(np.int64)
+            occ_start_u = (np.cumsum(w_pat) - w_pat)[leaf_perm]
+            return self._chain_join(
+                counts, emit, inv, occ_start_u, gpos_stream
+            )
+
+        return counts, emit, occurrences
+
     def _onpath_chain(self, index, search_keys: np.ndarray, thr: int):
         """Fully device-chained on-path route: trie search -> counts-only
         download -> device occurrence expansion + locate over the
@@ -870,12 +960,21 @@ class SeedFinder:
             mask_derive=fm_trie._mask_derive(),
             with_counts=True,
         )
-        # counts-only download (pattern order); lo/hi stay device-resident
-        counts_pat = np.asarray(counts_d)
         leaf_perm = prepared.leaf_perm
+        thr32 = int(min(thr, np.iinfo(np.int32).max))
+        eager = self._chain_eager_enabled()
+        if eager:
+            res = self._onpath_chain_eager(
+                index, uniq, inv, leaf_perm, lo_d, hi_d, counts_d,
+                thr32, k,
+            )
+            if res is not None:
+                return res
+        # two-fetch flow: counts-only download (pattern order); lo/hi
+        # stay device-resident until occurrences() expands them
+        counts_pat = np.asarray(counts_d)
         counts_u = counts_pat[leaf_perm]
         counts = counts_u[inv].astype(np.int64)
-        thr32 = int(min(thr, np.iinfo(np.int32).max))
         emit = (counts > 0) & (counts <= thr32)
 
         def occurrences():
@@ -1452,8 +1551,16 @@ class SeedFinder:
         if pending[0] == "mesh":
             return self._traverse_collect_sharded(index, pending)
         _, packed_d, cap, g, sa = pending
+        # the eager on-path chain may have already fetched the packed
+        # result as part of its fused round trip
+        pre = getattr(index, "_trav_pack_np", None)
         while True:
-            packed = np.asarray(packed_d)
+            if pre is not None:
+                packed = pre
+                pre = None
+                index._trav_pack_np = None
+            else:
+                packed = np.asarray(packed_d)
             locus_idx = packed[:cap]
             lo = packed[cap: 2 * cap]
             hi = packed[2 * cap: 3 * cap]
@@ -1577,18 +1684,26 @@ class SeedFinder:
                 seeds, self._traverse_device_columns(index)
             )
 
-    def seeds_all_arrays(self, seeds: SeedSet, index: SeedsIndex):
+    def seeds_all_arrays(self, seeds: SeedSet, index: SeedsIndex,
+                         split: bool = False):
         """Both routes, columnar; the bulk path used by the CLI.
 
         The off-path traversal is DISPATCHED first (async) and fetched
         after the on-path route completes, so its device time overlaps
         the on-path transfers and host joins — one chunk pays
         max(on-path, off-path) device time, not the sum (single-device
-        and mesh alike)."""
+        and mesh alike). On the single-device chain route, the
+        traversal's packed result additionally rides the on-path
+        chain's ONE packed fetch (eager flow). `split=True` returns
+        (on_path, off_path) arrays instead of the concatenation."""
         pending = None
         if self.starting_loci and index.size:
             with self.stats.timeit_ts("seeds-off-path"):
                 pending = self._traverse_dispatch(index)
+            if pending is not None and pending[0] == "single":
+                # hand the packed device handle to the on-path chain's
+                # eager fetch (fused round trip)
+                index._trav_pack_d = pending[1]
         parts = [self.seeds_on_paths_arrays(seeds, index)]
         if pending is not None:
             with self.stats.timeit_ts("seeds-off-path"):
@@ -1600,8 +1715,16 @@ class SeedFinder:
                 tstats.set_locus_idx(len(self.starting_loci))
         else:
             parts.append(self.seeds_off_paths_arrays(seeds, index))
-        parts = [p for p in parts if p is not None and len(p)]
+        index._trav_pack_d = None
+        index._trav_pack_np = None
         self.stats.get_this_thread_stats().inc_chunks_done()
+        if split:
+            empty = np.zeros(0, dtype=SEED_DTYPE)
+            return (
+                parts[0] if parts[0] is not None else empty,
+                parts[1] if parts[1] is not None else empty,
+            )
+        parts = [p for p in parts if p is not None and len(p)]
         if not parts:
             return np.zeros(0, dtype=SEED_DTYPE)
         return np.concatenate(parts)

@@ -131,6 +131,32 @@ for _ in range(5):
     force(r4_many(pos_sorted))
 r4_ms = max((time.time() - t0) / 5 * 1e3 - base_ms, 0.0) / R4_REPS
 
+# compact-only timing (the child-gather kernel): same method, on a
+# c-major child schedule with ascending parents per segment
+par = np.concatenate([
+    np.sort(rng.randint(0, M, size=M // 4)) for _ in range(4)
+]).astype(np.int32)
+ch = np.repeat(np.arange(1, 5, dtype=np.int32), M // 4)
+r4_sample = fm_stream.rank4_stream(arrays, pos_sorted)
+
+@jax.jit
+def compact_many(r4s, parq, chq):
+    def body(i, acc):
+        p2 = jnp.where(acc < 0, parq + 1, parq)
+        lo2, hi2 = fm_stream.compact_children(
+            r4s, r4s, p2, chq, arrays.C
+        )
+        return acc + lo2[0]
+
+    return jax.lax.fori_loop(0, R4_REPS, body, jnp.int32(0))
+
+parj, chj = jnp.asarray(par), jnp.asarray(ch)
+_ = force(compact_many(r4_sample, parj, chj))
+t0 = time.time()
+for _ in range(5):
+    _ = force(compact_many(r4_sample, parj, chj))
+comp_ms = max((time.time() - t0) / 5 * 1e3 - base_ms, 0.0) / R4_REPS
+
 ok = None
 if check_parity:
     lo = np.asarray(lo)[prep.leaf_perm]
@@ -148,6 +174,7 @@ out = {"variant": variant, "keys": len(keys_u), "prep_s": round(prep_s, 2),
        "device_ms": round(dev_ms, 1),
        "device_kmers_per_s": round(len(keys_u) / max(dev_ms / 1e3, 1e-9), 1),
        "rank4_pass_ms": round(r4_ms, 2),
+       "compact_pass_ms": round(comp_ms, 2),
        "kmers_per_s": round(rate, 1), "parity": ok,
        "slabs": fm_stream.SLABS, "ring": fm_stream.RING}
 print("RESULT " + json.dumps(out))

@@ -363,3 +363,56 @@ def test_seed_finder_chain_route_matches_default(monkeypatch):
     fm_trie._expand_locate_device.clear_cache()
     for thr in (0, 1):
         assert run(True, thr) == run(False, thr), thr
+    monkeypatch.delenv("PSI_EXPAND", raising=False)
+    fm_trie._expand_locate_device.clear_cache()
+    # eager single-fetch chain (uint16 counts + 24-bit gpos planes +
+    # sticky expansion cap), off-CPU default, forced here
+    monkeypatch.setenv("PSI_CHAIN_EAGER", "1")
+    for thr, mm in ((0, 0), (1, 0), (0, 1)):
+        assert run(True, thr, mm) == run(False, thr, mm), (thr, mm)
+
+
+def test_seeds_all_arrays_eager_fused_traverse(monkeypatch):
+    """seeds_all_arrays with the eager chain: the off-path traversal's
+    packed result rides the on-path fetch; the combined hit multiset
+    matches the non-eager run, including the split form."""
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    rng = np.random.RandomState(33)
+    seq = "".join(rng.choice(list("ACGT"), size=1200))
+    g = Graph.from_parts(
+        nodes={1: seq[:600], 2: seq[600:], 3: "ACGTAGGTACGTTCGTACGA"},
+        edges=[(1, 2), (1, 3), (3, 2)],
+        paths=[("ref", [1, 2])],
+    )
+    branch = g.node_sequence(1)[-6:] + g.node_sequence(3) + \
+        g.node_sequence(2)[:10]
+
+    def run(eager):
+        monkeypatch.setenv("PSI_STREAM", "1")
+        monkeypatch.setenv("PSI_DEVICE_LOCATE", "1")
+        monkeypatch.setenv("PSI_CHAIN_EAGER", "1" if eager else "0")
+        finder = SeedFinder(g, seed_len=12)
+        finder.create_path_index(n=1, patched=False)
+        finder.add_uncovered_loci()
+        reads = Records(
+            [f"r{i}" for i in range(12)],
+            [seq[i * 61: i * 61 + 48] for i in range(10)]
+            + [branch, branch[3:]],
+        )
+        seeds = finder.get_seeds(reads)
+        index = finder.index_reads(seeds)
+        finder.prepare_onpath(index)
+        on, off = finder.seeds_all_arrays(seeds, index, split=True)
+        return (
+            sorted(map(tuple, on.tolist())),
+            sorted(map(tuple, off.tolist())),
+        )
+
+    on_a, off_a = run(False)
+    on_b, off_b = run(True)
+    assert len(on_a) > 0 and len(off_a) > 0
+    assert on_a == on_b
+    assert off_a == off_b
