@@ -137,24 +137,64 @@ def main():
     from psi_tpu.records import Records
     from psi_tpu.seed_finder import SeedFinder
 
+    # PSI_MH_SCALE=big runs the phase at a DCN-VISIBLE shape
+    # (>=1e5 distinct keys, >=1e3 starting loci; the VERDICT r3 #10
+    # done-criterion) with per-phase timings; default stays CI-sized
+    big = os.environ.get("PSI_MH_SCALE") == "big"
     rng2 = np.random.RandomState(5)
-    seq = "".join(rng2.choice(list("ACGT"), size=3000))
-    g = Graph.from_parts(
-        nodes={1: seq[:1500], 2: seq[1500:],
-               3: "ACGTAGGTACGTTCGTACGATTAG"},
-        edges=[(1, 2), (1, 3), (3, 2)],
-        paths=[("ref", [1, 2])],
-    )
-    branch = (g.node_sequence(1)[-6:] + g.node_sequence(3)
-              + g.node_sequence(2)[:10])
-    reads = Records(
-        [f"r{i}" for i in range(32)] + ["b0"],
-        [seq[i * 61: i * 61 + 48] for i in range(32)] + [branch],
-    )
+    if big:
+        seed_len = 20
+        n_reads, read_len = 200_000, 100
+        refs = ["".join(rng2.choice(list("ACGT"), size=1_000_000))
+                for _ in range(2)]
+        nodes, edges, paths = {}, [], []
+        nid = 0
+        for i, s in enumerate(refs):
+            segs = len(s) // 50_000
+            seg_len = len(s) // segs
+            pn = []
+            prev = None
+            for j in range(segs):
+                nid += 1
+                end = (j + 1) * seg_len if j + 1 < segs else len(s)
+                nodes[nid] = s[j * seg_len: end]
+                pn.append(nid)
+                if prev is not None:
+                    edges.append((prev, nid))
+                    nid += 1
+                    nodes[nid] = "".join(
+                        rng2.choice(list("ACGT"), size=30)
+                    )
+                    edges.append((prev, nid))
+                    edges.append((nid, pn[-1]))
+                prev = pn[-1]
+            paths.append((f"ref{i}", pn))
+        g = Graph.from_parts(nodes=nodes, edges=edges, paths=paths)
+        src = rng2.randint(0, len(refs), size=n_reads)
+        starts = rng2.randint(0, 1_000_000 - read_len, size=n_reads)
+        reads = Records(
+            [f"r{i}" for i in range(n_reads)],
+            [refs[s][p: p + read_len] for s, p in zip(src, starts)],
+        )
+    else:
+        seed_len = 12
+        seq = "".join(rng2.choice(list("ACGT"), size=3000))
+        g = Graph.from_parts(
+            nodes={1: seq[:1500], 2: seq[1500:],
+                   3: "ACGTAGGTACGTTCGTACGATTAG"},
+            edges=[(1, 2), (1, 3), (3, 2)],
+            paths=[("ref", [1, 2])],
+        )
+        branch = (g.node_sequence(1)[-6:] + g.node_sequence(3)
+                  + g.node_sequence(2)[:10])
+        reads = Records(
+            [f"r{i}" for i in range(32)] + ["b0"],
+            [seq[i * 61: i * 61 + 48] for i in range(32)] + [branch],
+        )
     os.environ["PSI_STREAM"] = "1"
 
     def run_finder(devices):
-        f = SeedFinder(g, seed_len=12, devices=devices)
+        f = SeedFinder(g, seed_len=seed_len, devices=devices)
         f.create_path_index(n=1, patched=False)
         f.add_uncovered_loci()
         seeds = f.get_seeds(reads)
@@ -162,8 +202,12 @@ def main():
         f.prepare_onpath(index)
         return f, seeds, index
 
+    t0 = time.monotonic()
     f_m, seeds_m, index_m = run_finder("auto")
+    t_build = time.monotonic() - t0
     assert f_m._get_mesh() is not None
+    n_loci = len(f_m.get_starting_loci())
+    n_keys_pipe = int(len(np.unique(index_m.sorted_keys)))
     t0 = time.monotonic()
     hits_m = f_m.seeds_all_arrays(seeds_m, index_m)
     t_pipeline = time.monotonic() - t0
@@ -175,10 +219,22 @@ def main():
         np.array_equal(np.sort(hits_m, order=key),
                        np.sort(hits_1, order=key))
     ) and len(hits_m) > 0
+    # warm per-phase split: prepare (host schedule + upload), on-path,
+    # off-path — each timed separately on the mesh finder
+    reps = 1 if big else 3
     t0 = time.monotonic()
-    for _ in range(3):
-        f_m.seeds_all_arrays(seeds_m, index_m)
-    t_pipeline_warm = (time.monotonic() - t0) / 3
+    for _ in range(reps):
+        f_m.prepare_onpath(index_m)
+    t_prepare_warm = (time.monotonic() - t0) / reps
+    t0 = time.monotonic()
+    for _ in range(reps):
+        f_m.seeds_on_paths_arrays(seeds_m, index_m)
+    t_onpath_warm = (time.monotonic() - t0) / reps
+    t0 = time.monotonic()
+    for _ in range(reps):
+        f_m.seeds_off_paths_arrays(seeds_m, index_m)
+    t_offpath_warm = (time.monotonic() - t0) / reps
+    t_pipeline_warm = t_prepare_warm + t_onpath_warm + t_offpath_warm
 
     if pid == 0:
         with open(out, "w") as fh:
@@ -195,8 +251,15 @@ def main():
                     "t_trie_warm": t_trie_warm,
                     "pipeline_ok": pipeline_ok,
                     "pipeline_hits": int(len(hits_m)),
+                    "pipeline_keys": n_keys_pipe,
+                    "pipeline_loci": n_loci,
+                    "t_build": t_build,
                     "t_pipeline": t_pipeline,
                     "t_pipeline_warm": t_pipeline_warm,
+                    "t_prepare_warm": t_prepare_warm,
+                    "t_onpath_warm": t_onpath_warm,
+                    "t_offpath_warm": t_offpath_warm,
+                    "scale": "big" if big else "ci",
                 },
                 fh,
             )
