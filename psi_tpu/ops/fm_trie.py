@@ -454,6 +454,16 @@ def _trie_device(
         xs = (parents, chars)
 
     if use_pallas:
+        # PSI_TRIE_CTL (trace-time env, DIAGNOSTIC ONLY — WRONG
+        # RESULTS): "empty" skips both kernels (scan/slicing glue
+        # floor), "norank" feeds compact constant rank tables (compact
+        # + glue), "nocompact" drops the child gather (ranks + glue).
+        # Never set in production; used by scripts/tpu_r4_kernels.py
+        # to attribute the trie's non-kernel time.
+        import os as _os_tctl
+
+        tctl = _os_tctl.environ.get("PSI_TRIE_CTL", "")
+
         def level(state, xs):
             # NOTE an interleaved single rank4 pass over
             # [lo0, hi0, lo1, hi1, ...] was tried and measured 4.5x
@@ -461,11 +471,29 @@ def _trie_device(
             # compact windows halve in parent coverage); keep two.
             lo, hi = state
             parent, c = unpack(xs)
-            r4lo = fm_stream.rank4_stream(arrays, lo, interpret=interpret)
-            r4hi = fm_stream.rank4_stream(arrays, hi, interpret=interpret)
-            new_lo, new_hi = fm_stream.compact_children(
-                r4lo, r4hi, parent, c, arrays.C, interpret=interpret
-            )
+            if tctl == "empty":
+                keep = (parent[0] + c[0]) * 0
+                return (lo + keep, hi + keep), None
+            if tctl == "norank":
+                T = lo.shape[0] // fm_stream.QTILE
+                shp = (T, fm_stream.SLABS, 4, fm_stream.QROWS,
+                       fm_stream.WB)
+                r4lo = jnp.zeros(shp, jnp.int32) + lo[0]
+                r4hi = jnp.zeros(shp, jnp.int32) + hi[0]
+            else:
+                r4lo = fm_stream.rank4_stream(
+                    arrays, lo, interpret=interpret
+                )
+                r4hi = fm_stream.rank4_stream(
+                    arrays, hi, interpret=interpret
+                )
+            if tctl == "nocompact":
+                new_lo = r4lo[:, :, 0].reshape(-1)
+                new_hi = r4hi[:, :, 0].reshape(-1)
+            else:
+                new_lo, new_hi = fm_stream.compact_children(
+                    r4lo, r4hi, parent, c, arrays.C, interpret=interpret
+                )
             return (new_lo, new_hi), None
 
         (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)

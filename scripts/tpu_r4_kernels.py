@@ -198,6 +198,18 @@ VARIANTS = [
                      "PSI_CHECK_PARITY": "0"}),
     ("flat_delta", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "delta"}),
     ("mxu_delta", {"PSI_RANK4": "mxu", "PSI_TRIE_WIRE": "delta"}),
+    # trie-glue attribution (kernels measured fast standalone vs the
+    # trie total): scan/slicing floor, compact+glue, ranks+glue
+    ("trie_empty", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                    "PSI_TRIE_PACK": "0", "PSI_TRIE_CTL": "empty",
+                    "PSI_CHECK_PARITY": "0"}),
+    ("trie_norank", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                     "PSI_TRIE_PACK": "0", "PSI_TRIE_CTL": "norank",
+                     "PSI_CHECK_PARITY": "0"}),
+    ("trie_nocompact", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                        "PSI_TRIE_PACK": "0",
+                        "PSI_TRIE_CTL": "nocompact",
+                        "PSI_CHECK_PARITY": "0"}),
 ]
 
 _only = os.environ.get("PSI_AB_ONLY")
