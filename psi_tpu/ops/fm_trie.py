@@ -496,7 +496,17 @@ def _trie_device(
                 )
             return (new_lo, new_hi), None
 
-        (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
+        if _os_tctl.environ.get("PSI_TRIE_UNROLL", "") not in ("", "0"):
+            # unrolled levels (A/B vs lax.scan: no per-iteration xs
+            # dynamic-slice / carry plumbing; trace-time env)
+            state = (lo0, hi0)
+            n_levels = jax.tree_util.tree_leaves(xs)[0].shape[0]
+            for j in range(n_levels):
+                xs_j = jax.tree_util.tree_map(lambda a: a[j], xs)
+                state, _ = level(state, xs_j)
+            lo, hi = state
+        else:
+            (lo, hi), _ = jax.lax.scan(level, (lo0, hi0), xs)
         return (lo, hi, hi - lo) if with_counts else (lo, hi)
 
     if True:

@@ -210,6 +210,8 @@ VARIANTS = [
                         "PSI_TRIE_PACK": "0",
                         "PSI_TRIE_CTL": "nocompact",
                         "PSI_CHECK_PARITY": "0"}),
+    ("flat_unroll", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                     "PSI_TRIE_PACK": "0", "PSI_TRIE_UNROLL": "1"}),
 ]
 
 _only = os.environ.get("PSI_AB_ONLY")
