@@ -165,8 +165,24 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
     done_q: "queue.Queue" = queue.Queue()
     workers = 2
 
+    legs = {
+        "parse_seed_s": 0.0, "prepare_s": 0.0, "onoff_s": 0.0,
+        "sched_bytes": 0, "fetch_bytes": 0, "chunks": 0,
+    }
+
+    def _prep_bytes(prep):
+        total = 0
+        for f in ("delta", "dmeta", "dexc", "row_delta", "row_exc",
+                  "poff", "pbase", "charpk", "parents", "chars",
+                  "lo0", "hi0", "ftab_rows", "mask"):
+            a = getattr(prep, f, None)
+            if a is not None and hasattr(a, "nbytes"):
+                total += int(a.nbytes)
+        return total
+
     def producer():
         for ci in range(n_chunks):
+            t_p0 = time.monotonic()
             src = rng.randint(0, len(strings), size=reads_per_chunk)
             starts = rng.randint(0, path_len - read_len, size=reads_per_chunk)
             seqs = [
@@ -182,7 +198,14 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             chunk = Records(names, seqs, rec_offset=ci * reads_per_chunk)
             seeds = finder.get_seeds(chunk)
             index = finder.index_reads(seeds)
+            t_p1 = time.monotonic()
             finder.prepare_onpath(index)
+            t_p2 = time.monotonic()
+            legs["parse_seed_s"] += t_p1 - t_p0
+            legs["prepare_s"] += t_p2 - t_p1
+            prep = getattr(index, "_onpath_prep", None)
+            if prep is not None:
+                legs["sched_bytes"] += _prep_bytes(prep[2])
             nkeys = len(np.unique(index.sorted_keys))
             work_q.put((ci, seeds, index, nkeys))
         for _ in range(workers):
@@ -198,7 +221,14 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             # seeds_all_arrays overlaps the off-path dispatch under the
             # on-path route and (eager chain) fuses its fetch into the
             # on-path round trip
+            t_w0 = time.monotonic()
             arr, off = finder.seeds_all_arrays(seeds, index, split=True)
+            legs["onoff_s"] += time.monotonic() - t_w0
+            legs["fetch_bytes"] += (
+                len(np.unique(index.sorted_keys)) * 2  # counts16
+                + (len(arr) + len(off)) * 3            # gpos24-ish
+            )
+            legs["chunks"] += 1
             done_q.put(
                 (ci, nkeys, index.size, len(arr), len(off))
             )
@@ -234,6 +264,16 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         f"({dt/max(1,measured)*1e3:.0f} ms/chunk, {keys} keys, "
         f"{seeds_n} seeds, {hits} on-path + {off_hits} off-path hits, "
         f"{n_loci} loci/chunk traversed)",
+        file=sys.stderr,
+    )
+    nch = max(legs["chunks"], 1)
+    print(
+        f"# sustained legs (avg/chunk over all {nch}): "
+        f"parse+seed {legs['parse_seed_s']/nch*1e3:.0f} ms, "
+        f"prepare(sched+upload) {legs['prepare_s']/nch*1e3:.0f} ms, "
+        f"on+off(query) {legs['onoff_s']/nch*1e3:.0f} ms; "
+        f"wire/chunk: sched up {legs['sched_bytes']/nch/1e6:.1f} MB, "
+        f"fetch down ~{legs['fetch_bytes']/nch/1e6:.1f} MB",
         file=sys.stderr,
     )
     return keys / dt, seeds_n / dt, hits, n_loci, off_hits
