@@ -529,6 +529,172 @@ def _rank4_kernel_flat(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
         jax.lax.fori_loop(0, nw_ref[lane_slab], visit, 0)
 
 
+def _rank4_pair_kernel(wlo_ref, nw_ref, poslo_ref, poshi_ref, payload_ref,
+                       outlo_ref, outhi_ref, winring, sems, prefix):
+    """rank4 for TWO position tiles (a frontier's lo and hi arrays) in
+    ONE kernel: per-slab window bounds span both tiles, the flat
+    RING-deep prefetch pipeline runs once, and each window visit
+    computes both tiles' ranks from the one DMA'd window. Halves the
+    per-level kernel launches (and Mosaic program switches) and the
+    window DMA traffic vs two rank4_stream calls — the trie's lo/hi
+    tiles visit almost the same windows (ranges are nested-disjoint,
+    so hi interleaves lo)."""
+    neg1 = jnp.int32(-1)
+    t = pl.program_id(0)
+    nslabs_total = prefix.shape[0] - 1
+
+    def slab_of(g):
+        def step(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi + 1) // 2
+            go = prefix[mid] <= g
+            return (jnp.where(go, mid, lo), jnp.where(go, hi, mid - 1))
+
+        bits = max((nslabs_total).bit_length(), 1)
+        lo, _ = jax.lax.fori_loop(
+            0, bits, step, (jnp.int32(0), jnp.int32(nslabs_total - 1))
+        )
+        return lo
+
+    def start_visit(g):
+        s = slab_of(g)
+        w = wlo_ref[s] + (g - prefix[s])
+        slot = jax.lax.rem(g, RING)
+        pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(w * WB, WB)],
+            winring.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(t == 0)
+    def _():
+        def scan_body(i, a):
+            prefix[i] = a
+            return a + nw_ref[i]
+
+        total0 = jax.lax.fori_loop(0, nslabs_total, scan_body, jnp.int32(0))
+        prefix[nslabs_total] = total0
+
+        def prologue(g, _):
+            @pl.when(g < total0)
+            def _():
+                start_visit(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, RING, prologue, 0)
+
+    total = prefix[nslabs_total]
+    for s in range(SLABS):
+        poss_lo = poslo_ref[0, s]
+        poss_hi = poshi_ref[0, s]
+        blk_lo = poss_lo // SBLOCK
+        blk_hi = poss_hi // SBLOCK
+        lane_slab = t * SLABS + s
+        base = wlo_ref[lane_slab]
+        gs = prefix[lane_slab]
+
+        def visit(j, _):
+            g = gs + j
+            w = base + j
+            slot = jax.lax.rem(g, RING)
+            pltpu.make_async_copy(
+                payload_ref.at[:, pl.ds(w * WB, WB)],
+                winring.at[slot],
+                sems.at[slot],
+            ).wait()
+
+            for poss, blk, out_ref in (
+                (poss_lo, blk_lo, outlo_ref),
+                (poss_hi, blk_hi, outhi_ref),
+            ):
+                valid = (blk // WB) == w
+                lbl = jnp.clip(blk - w * WB, 0, WB - 1)
+
+                def gcomp(row):
+                    src = jnp.broadcast_to(
+                        winring[slot, pl.ds(row, 1), :], (QROWS, WB)
+                    )
+                    return jnp.take_along_axis(src, lbl, axis=1)
+
+                occ = [gcomp(c) for c in range(1, 5)]
+                pw = [gcomp(6 + p) for p in range(3)]
+                maskw = (1 << (poss % SBLOCK)) - 1
+                for c in range(1, 5):
+                    match = jnp.full((QROWS, WB), neg1)
+                    for p in range(3):
+                        match &= pw[p] if (c >> p) & 1 else ~pw[p]
+                    rank = occ[c - 1] + jax.lax.population_count(
+                        match & maskw
+                    )
+                    out_ref[0, s, c - 1] = jnp.where(
+                        valid, rank, out_ref[0, s, c - 1]
+                    )
+
+            @pl.when(g + RING < total)
+            def _():
+                start_visit(g + RING)
+
+            return 0
+
+        for c in range(4):
+            outlo_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+            outhi_ref[0, s, c] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, nw_ref[lane_slab], visit, 0)
+
+
+def rank4_pair_stream(
+    arrays: StreamArrays, pos_lo: jax.Array, pos_hi: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """rank4 for two MONOTONE position arrays (the trie frontier's lo
+    and hi) in one launch. Returns (r4lo, r4hi), each
+    int32 [T, SLABS, 4, QROWS, WB]."""
+    M = pos_lo.shape[0]
+    T = M // QTILE
+    bl = pos_lo.reshape(-1, SLAB_Q) // SPAN
+    bh = pos_hi.reshape(-1, SLAB_Q) // SPAN
+    wlo = jnp.minimum(
+        jnp.min(bl, axis=1), jnp.min(bh, axis=1)
+    ).astype(jnp.int32)
+    whi = jnp.maximum(jnp.max(bl, axis=1), jnp.max(bh, axis=1))
+    nw = (whi - wlo + 1).astype(jnp.int32)
+    blk = (1, SLABS, QROWS, WB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(blk, lambda t, a, b: (t, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, SLABS, 4, QROWS, WB), lambda t, a, b: (t, 0, 0, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RING, PAYLOAD_ROWS, WB), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SMEM((T * SLABS + 1,), jnp.int32),
+        ],
+    )
+    shp = (T, SLABS, 4, QROWS, WB)
+    return pl.pallas_call(
+        _rank4_pair_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+            jax.ShapeDtypeStruct(shp, jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(wlo, nw, pos_lo.reshape(T, SLABS, QROWS, WB),
+      pos_hi.reshape(T, SLABS, QROWS, WB), arrays.payloadT)
+
+
 def _rank4_kernel_mxu(wlo_ref, nw_ref, pos_ref, payload_ref, out_ref,
                       winring, sems, prefix, acc):
     """rank4 with the payload fetch on the MXU (round-4 candidate (a)

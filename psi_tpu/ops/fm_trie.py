@@ -480,6 +480,15 @@ def _trie_device(
                        fm_stream.WB)
                 r4lo = jnp.zeros(shp, jnp.int32) + lo[0]
                 r4hi = jnp.zeros(shp, jnp.int32) + hi[0]
+            elif _os_tctl.environ.get(
+                "PSI_RANK4_PAIR", "0"
+            ) not in ("", "0"):
+                # one launch ranks BOTH frontier arrays (half the
+                # kernel launches + shared window DMAs); A/B'd vs two
+                # rank4_stream calls in scripts/tpu_r4_kernels.py
+                r4lo, r4hi = fm_stream.rank4_pair_stream(
+                    arrays, lo, hi, interpret=interpret
+                )
             else:
                 r4lo = fm_stream.rank4_stream(
                     arrays, lo, interpret=interpret

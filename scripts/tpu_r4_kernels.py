@@ -212,6 +212,8 @@ VARIANTS = [
                         "PSI_CHECK_PARITY": "0"}),
     ("flat_unroll", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
                      "PSI_TRIE_PACK": "0", "PSI_TRIE_UNROLL": "1"}),
+    ("pair_plain", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                    "PSI_TRIE_PACK": "0", "PSI_RANK4_PAIR": "1"}),
 ]
 
 _only = os.environ.get("PSI_AB_ONLY")
