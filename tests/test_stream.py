@@ -244,6 +244,33 @@ def test_trie_search_matches_generic():
                 np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
 
 
+def test_trie_search_pair_kernel(monkeypatch):
+    """PSI_RANK4_PAIR=1 (lo+hi ranked in one launch) is exact vs the
+    two-pass default, interpret mode."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(41)
+    s = "".join(rng.choice(list("ACGT"), size=70_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    arr = fm_stream.build_stream_arrays(fm)
+    dense = fm_ops.to_device(fm, dense_occ=True)
+    k = 12
+    keys = np.unique(rng.randint(0, 4 ** k, size=3000).astype(np.uint64))
+    codes = fm_ops.keys_to_codes(keys, k)
+    l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+    l1, h1 = np.asarray(l1), np.asarray(h1)
+    ftab = fm_ops.build_ftab(fm, 5)
+    monkeypatch.setenv("PSI_RANK4_PAIR", "1")
+    prep = fm_trie.prepare(keys, k, ftab, wire="plain", pack=False)
+    lo2, hi2 = fm_trie.trie_search(
+        arr, keys, k, use_pallas=True, interpret=True, ftab=ftab,
+        prepared=prep,
+    )
+    np.testing.assert_array_equal(h1 - l1, hi2 - lo2)
+    nz = h1 > l1
+    np.testing.assert_array_equal(l1[nz], lo2[nz])
+
+
 def test_trie_search_mask_search_derive(monkeypatch):
     """PSI_MASK_DERIVE=search (the searchsorted select, no longer the
     default) stays exact; mask_derive is a static jit arg so flipping
