@@ -149,6 +149,22 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.psi_gaf_export.restype = None
             lib.psi_gaf_free.argtypes = [ctypes.c_void_p]
             lib.psi_gaf_free.restype = None
+        if hasattr(lib, "psi_extract_kmers"):
+            lib.psi_extract_kmers.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                u64p, u8p, i64p,
+            ]
+            lib.psi_extract_kmers.restype = None
+            lib.psi_seed_index_fill.argtypes = [
+                u64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int64, u8p, i32p, i32p,
+            ]
+            lib.psi_seed_index_fill.restype = None
+            lib.psi_radix_sort_kv.argtypes = [
+                u64p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, i64p,
+            ]
+            lib.psi_radix_sort_kv.restype = None
         _lib = lib
         return _lib
 
@@ -485,3 +501,67 @@ def fastq_scan(buf: bytes, max_records: int):
     names = [buf[ns[i]: ns[i] + nl[i]].decode("ascii") for i in range(nrec)]
     seqs = [buf[ss[i]: ss[i] + sl[i]].decode("ascii") for i in range(nrec)]
     return names, seqs, consumed.value
+
+
+def extract_kmers(seqs, k: int, step: int, greedy_tail: bool = False):
+    """Native rolling k-mer extraction (psi_chunk.cpp). Returns
+    (keys uint64[S], valid bool[S], seedmap int64[S, 2]) with the same
+    window enumeration as ops/kmers.extract_kmers, or None without the
+    library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_extract_kmers"):
+        return None
+    R = len(seqs)
+    text = "".join(seqs).encode("ascii")
+    data = np.frombuffer(text, dtype=np.uint8)
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=R)
+    offsets = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    nwin = np.where(lens >= k, (lens - k) // step + 1, 0)
+    if greedy_tail:
+        # end-anchored final window when the last regular start missed
+        # the tail (len - k not on the step grid and at least 1 window)
+        tail = (nwin > 0) & ((nwin - 1) * step != lens - k)
+        nwin = nwin + tail.astype(np.int64)
+    out_off = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(nwin, out=out_off[1:])
+    S = int(out_off[-1])
+    keys = np.empty(S, dtype=np.uint64)
+    valid = np.empty(S, dtype=np.uint8)
+    seedmap = np.empty(S * 2, dtype=np.int64)
+    lib.psi_extract_kmers(
+        data, offsets, out_off, R, k, step, int(greedy_tail),
+        keys, valid, seedmap,
+    )
+    return keys, valid.astype(bool), seedmap.reshape(S, 2)
+
+
+def seed_index_fill(sorted_keys: np.ndarray, k: int, block: int):
+    """Native per-depth chars/occ/planes fill over the sorted key
+    array (psi_chunk.cpp). Returns (chars, occ, planes) matching
+    records.SeedsIndex layouts, or None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_seed_index_fill"):
+        return None
+    V = len(sorted_keys)
+    nb = (V + block - 1) // block
+    sk = np.ascontiguousarray(sorted_keys, dtype=np.uint64)
+    chars = np.empty((k, V), dtype=np.uint8)
+    occ = np.empty((k, nb + 1, 4), dtype=np.int32)
+    planes = np.empty((k, nb + 1, 2), dtype=np.int32)
+    lib.psi_seed_index_fill(sk, V, k, block, nb, chars, occ, planes)
+    return chars, occ, planes
+
+
+def radix_sort_kv(keys: np.ndarray, ids: np.ndarray, key_bits: int):
+    """Stable in-place LSD radix sort of (keys, ids) by key
+    (psi_chunk.cpp). Returns True on success, None without the
+    library (caller falls back to np.argsort)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_radix_sort_kv"):
+        return None
+    n = len(keys)
+    tmp_k = np.empty(n, dtype=np.uint64)
+    tmp_i = np.empty(n, dtype=np.int64)
+    lib.psi_radix_sort_kv(keys, ids, n, key_bits, tmp_k, tmp_i)
+    return True

@@ -71,9 +71,12 @@ def seeding(reads: Records, k: int, step: int, greedy: bool = False) -> SeedSet:
     non-overlapping strategy, step==1 greedy-overlapping; greedy=True
     adds an end-anchored final window when the tail does not fit —
     GreedyNonOverlapping, ref: sequence.hpp:1796-1816)."""
-    keys, valid, seedmap = extract_kmers(
-        reads.seqs, k, step, greedy_tail=greedy
-    )
+    from psi_tpu import native
+
+    out = native.extract_kmers(reads.seqs, k, step, greedy_tail=greedy)
+    if out is None:
+        out = extract_kmers(reads.seqs, k, step, greedy_tail=greedy)
+    keys, valid, seedmap = out
     return SeedSet(keys, valid, seedmap, k, reads.rec_offset)
 
 
@@ -93,18 +96,35 @@ class SeedsIndex:
     """
 
     def __init__(self, seeds: SeedSet):
+        from psi_tpu import native
+
         self.seeds = seeds
         self.k = seeds.k
         keys = seeds.keys[seeds.valid]
         ids = np.nonzero(seeds.valid)[0].astype(np.int64)
-        order = np.argsort(keys, kind="stable")
-        self.sorted_keys = keys[order]          # uint64 [V]
-        self.seed_ids = ids[order]              # int64 [V] original seed index
+        # stable sort by key carrying ids: native LSD radix when
+        # available (one fused pass set), else argsort + two gathers
+        if len(keys) and native.radix_sort_kv(
+            keys, ids, 2 * seeds.k
+        ) is not None:
+            self.sorted_keys = keys
+            self.seed_ids = ids
+        else:
+            order = np.argsort(keys, kind="stable")
+            self.sorted_keys = keys[order]      # uint64 [V]
+            self.seed_ids = ids[order]          # int64 [V] original index
         V = len(self.sorted_keys)
         self.size = V
         k = self.k
-        # per-depth char codes of the sorted keys (row-by-row: avoids a
-        # broadcast (k, V) uint64 intermediate, which is slow on this host)
+        nb = (V + BLOCK - 1) // BLOCK
+        if V:
+            filled = native.seed_index_fill(self.sorted_keys, k, BLOCK)
+            if filled is not None:
+                self.chars, self.occ, self.planes = filled
+                return
+        # NumPy fallback: per-depth char codes of the sorted keys
+        # (row-by-row: avoids a broadcast (k, V) uint64 intermediate,
+        # which is slow on this host)
         self.chars = np.zeros((k, V), dtype=np.uint8)
         three = np.uint64(3)
         for d in range(k):
@@ -113,9 +133,6 @@ class SeedsIndex:
                 np.uint8
             )
         # rank checkpoints per depth: occ[d, b, c] = # of char c in chars[d, :b*BLOCK]
-        from psi_tpu import native
-
-        nb = (V + BLOCK - 1) // BLOCK
         self.occ = np.zeros((k, nb + 1, 4), dtype=np.int32)
         # per-depth 2-bit planes, one 32-bit word per block: device rank
         # = occ checkpoint + masked popcount (no [N, BLOCK] one-hot).

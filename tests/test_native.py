@@ -208,3 +208,62 @@ def test_fm_build_uses_native():
             if s[i: i + len(pat)] == pat
         )
         assert fm.count(pat) == brute
+
+
+@pytest.mark.parametrize("k,step,greedy", [(20, 1, False), (20, 7, True),
+                                           (12, 12, True), (31, 1, False)])
+def test_extract_kmers_native_parity(k, step, greedy):
+    from psi_tpu.ops.kmers import extract_kmers as np_extract
+
+    rng = np.random.RandomState(5)
+    seqs = []
+    for _ in range(300):
+        L = int(rng.randint(max(k - 4, 5), 140))
+        seqs.append("".join(rng.choice(
+            list("ACGTacgtN"), size=L,
+            p=[.2, .2, .2, .2, .04, .04, .04, .04, .04])))
+    out = native.extract_kmers(seqs, k, step, greedy_tail=greedy)
+    if out is None:
+        pytest.skip("native library unavailable")
+    ref = np_extract(seqs, k, step, greedy_tail=greedy)
+    for got, want in zip(out, ref):
+        assert got.shape == want.shape
+        assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_seed_index_native_parity(monkeypatch):
+    from psi_tpu.records import SeedSet, SeedsIndex
+    from psi_tpu.ops.kmers import extract_kmers as np_extract
+
+    rng = np.random.RandomState(6)
+    seqs = ["".join(rng.choice(list("ACGTN"), size=90,
+                               p=[.24, .24, .24, .24, .04]))
+            for _ in range(800)]
+    keys, valid, m = np_extract(seqs, 13, 1)
+    ss = SeedSet(keys, valid, m, 13, 0)
+    idx_nat = SeedsIndex(ss)
+    if native._load() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("PSI_NO_NATIVE", "1")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    idx_np = SeedsIndex(ss)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    assert (idx_nat.sorted_keys == idx_np.sorted_keys).all()
+    assert (idx_nat.seed_ids == idx_np.seed_ids).all()
+    assert (idx_nat.chars == idx_np.chars).all()
+    assert (idx_nat.occ == idx_np.occ).all()
+    assert (idx_nat.planes == idx_np.planes).all()
+
+
+def test_radix_sort_kv_stable():
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 1 << 26, size=50_000).astype(np.uint64)
+    ids = np.arange(len(keys), dtype=np.int64)
+    k2, i2 = keys.copy(), ids.copy()
+    if native.radix_sort_kv(k2, i2, 26) is None:
+        pytest.skip("native library unavailable")
+    order = np.argsort(keys, kind="stable")
+    assert (k2 == keys[order]).all()
+    assert (i2 == ids[order]).all()
