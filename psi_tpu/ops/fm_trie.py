@@ -675,11 +675,14 @@ def prepare(
     if wire is None:
         wire = os.environ.get("PSI_TRIE_WIRE")
     if wire is None:
-        # tunneled/PCIe chips are upload-bound (the schedule is the
-        # dominant per-chunk transfer): default to the 1 B/child delta
-        # wire there; on the CPU backend transfers are free and the
-        # materialized packed schedule skips the derive entirely
-        wire = "packed" if jax.default_backend() == "cpu" else "delta"
+        # packed everywhere: the round-4 rep-scan A/B (overhead-
+        # cancelled, scripts/tpu_r4_reploop.py) measured the packed
+        # derive as device-free (14.1 ms/batch vs plain 13.6 at 2^19
+        # keys) while the delta derive costs ~16 ms/batch of device
+        # time (29.8 ms) — delta's 3.5x upload cut only pays when the
+        # wire is the binding constraint (force PSI_TRIE_WIRE=delta on
+        # upload-starved links)
+        wire = "packed"
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
