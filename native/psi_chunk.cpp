@@ -201,4 +201,71 @@ void psi_radix_sort_kv(uint64_t* keys, int64_t* ids, int64_t n,
   }
 }
 
+// Fused on-path emission: for each emitted search row, walk its gpos
+// segment, map each global position to (node, offset) by binary
+// search over the path-map starts, and cross-product with the row's
+// seed range — writing finished SEED_DTYPE rows (6 x int64) directly.
+// Replaces ~12 NumPy passes (repeat/cumsum/searchsorted/gather chain
+// in seed_finder._chain_join + the cross-product block) with one
+// OpenMP pass. Row order matches the NumPy path exactly:
+// (emitted row, occurrence, seed).
+//   counts:     int64 [n_search]  occurrence count per search row
+//   emit_idx:   int64 [E]         emitted search rows
+//   inv:        int64 [n_search]  search row -> chain-uniq (gpos seg)
+//   origin:     int64 [n_search]  search row -> index-uniq (seed rng)
+//   occ_start:  int64 [n_uniq]    gpos segment start per chain-uniq
+//   gpos:       int64 [total_u]   global positions
+//   pm_starts/ids/base: int64 [P] path map (starts ascending)
+//   uniq_start/uniq_end: int64 [n_iuniq] seed ranges per index-uniq
+//   seed_ids:   int64 [V], seedmap int64 [S*2]
+//   out_off:    int64 [E+1]       output row offsets (precomputed)
+//   out:        int64 [total*6]   SEED_DTYPE rows
+void psi_emit_join(const int64_t* counts, const int64_t* emit_idx,
+                   int64_t E, const int64_t* inv, const int64_t* origin,
+                   const int64_t* occ_start, const int64_t* gpos,
+                   const int64_t* pm_starts, const int64_t* pm_ids,
+                   const int64_t* pm_base, int64_t P,
+                   const int64_t* uniq_start, const int64_t* uniq_end,
+                   const int64_t* seed_ids, const int64_t* seedmap,
+                   int64_t rec_offset, int64_t k,
+                   const int64_t* out_off, int64_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t row = emit_idx[e];
+    const int64_t c = counts[row];
+    const int64_t u_occ = inv[row];
+    const int64_t u_org = origin[row];
+    const int64_t s0 = uniq_start[u_org], s1 = uniq_end[u_org];
+    const int64_t g0 = occ_start[u_occ];
+    int64_t* o = out + out_off[e] * 6;
+    for (int64_t j = 0; j < c; ++j) {
+      const int64_t g = gpos[g0 + j];
+      // entry = last p with pm_starts[p] <= g  (searchsorted right - 1)
+      int64_t lo = 0, hi = P;
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) / 2;
+        if (pm_starts[mid] <= g)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      const int64_t entry = lo - 1;
+      const int64_t node = pm_ids[entry];
+      const int64_t noff = g - pm_starts[entry] + pm_base[entry];
+      for (int64_t s = s0; s < s1; ++s) {
+        const int64_t sid = seed_ids[s];
+        o[0] = node;
+        o[1] = noff;
+        o[2] = rec_offset + seedmap[2 * sid];
+        o[3] = seedmap[2 * sid + 1];
+        o[4] = k;
+        o[5] = c;
+        o += 6;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -165,6 +165,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 u64p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, i64p,
             ]
             lib.psi_radix_sort_kv.restype = None
+        if hasattr(lib, "psi_emit_join"):
+            lib.psi_emit_join.argtypes = [
+                i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p,
+                i64p, i64p, i64p, ctypes.c_int64, i64p, i64p, i64p,
+                i64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            ]
+            lib.psi_emit_join.restype = None
         _lib = lib
         return _lib
 
@@ -564,4 +571,30 @@ def radix_sort_kv(keys: np.ndarray, ids: np.ndarray, key_bits: int):
     tmp_k = np.empty(n, dtype=np.uint64)
     tmp_i = np.empty(n, dtype=np.int64)
     lib.psi_radix_sort_kv(keys, ids, n, key_bits, tmp_k, tmp_i)
+    return True
+
+
+def emit_join(counts, emit_idx, inv, origin, occ_start_u, gpos_stream,
+              pm_starts, pm_ids, pm_base, uniq_start, uniq_end,
+              seed_ids, seedmap, rec_offset: int, k: int,
+              out_off, out_rows: np.ndarray):
+    """Fused chain join + seed cross-product + SEED_DTYPE fill
+    (psi_chunk.cpp). out_rows is an int64 [total, 6] view of the
+    destination structured array. Returns True, or None without the
+    library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_emit_join"):
+        return None
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    lib.psi_emit_join(
+        c64(counts), c64(emit_idx), len(emit_idx), c64(inv),
+        c64(origin), c64(occ_start_u), c64(gpos_stream),
+        c64(pm_starts), c64(pm_ids), c64(pm_base), len(pm_starts),
+        c64(uniq_start), c64(uniq_end), c64(seed_ids),
+        c64(seedmap).reshape(-1), rec_offset, k, c64(out_off),
+        out_rows.reshape(-1),
+    )
     return True

@@ -662,7 +662,17 @@ class SeedFinder:
         """The deterministic seed join shared by the single-device and
         sharded chains: the device's gpos stream is ordered by (pattern
         slot, SA rank) — per-uniq segments are located from counts
-        alone, then mapped to (node, offset) by one host searchsorted."""
+        alone, then mapped to (node, offset) by one host searchsorted.
+
+        When the native library is loaded the join is deferred: the raw
+        (occ_start_u, gpos_stream, inv) triple is returned for
+        psi_emit_join to fuse with the seed cross-product in one
+        OpenMP pass (the consumer in _seeds_on_paths_impl dispatches
+        on the "raw" tag)."""
+        from psi_tpu import native
+
+        if native.available() and hasattr(native._load(), "psi_emit_join"):
+            return ("raw", occ_start_u, gpos_stream, inv)
         pm = self._path_map
         emit_idx = np.nonzero(emit)[0]
         widths = counts[emit]
@@ -677,6 +687,35 @@ class SeedFinder:
         node_ids = pm["ids"][entry]
         node_offs = gpos - pm["starts"][entry] + pm["base"][entry]
         return emit_idx, occ_rows, node_ids, node_offs
+
+    def _emit_join_native(self, counts, emit, inv, origin, occ_start_u,
+                          gpos_stream, index, seeds, uniq_start,
+                          uniq_end, k):
+        """Fused emission for the chain route: one native pass walks
+        each emitted row's gpos segment, binary-searches the path map,
+        and writes the seed cross-product directly as SEED_DTYPE rows.
+        Row order is identical to the NumPy join + cross-product."""
+        from psi_tpu import native
+
+        pm = self._path_map
+        emit_idx = np.nonzero(emit)[0]
+        widths = counts[emit_idx].astype(np.int64)
+        ns = (uniq_end - uniq_start)[origin[emit_idx]].astype(np.int64)
+        rows_per = widths * ns
+        out_off = np.zeros(len(emit_idx) + 1, dtype=np.int64)
+        np.cumsum(rows_per, out=out_off[1:])
+        total = int(out_off[-1])
+        out = np.empty(total, dtype=SEED_DTYPE)
+        if total:
+            ok = native.emit_join(
+                counts, emit_idx, inv, origin, occ_start_u,
+                gpos_stream, pm["starts"], pm["ids"], pm["base"],
+                uniq_start, uniq_end, index.seed_ids, seeds.seedmap,
+                int(seeds.rec_offset), int(k),
+                out_off, out.view(np.int64).reshape(total, 6),
+            )
+            assert ok, "native emit_join vanished mid-run"
+        return out
 
     def _get_mesh_repl(self, mesh, name: str, build):
         """Per-mesh cache of replicated device arrays (index arrays are
@@ -1100,7 +1139,17 @@ class SeedFinder:
             tstats.inc_gocc_skips(int(skipped.sum()))
             if not emit.any():
                 return None
-            emit_idx, occ_rows, node_ids, node_offs = row_per_occ_fn()
+            join = row_per_occ_fn()
+            if isinstance(join, tuple) and len(join) == 4 \
+                    and isinstance(join[0], str) and join[0] == "raw":
+                # native fused join: cross-product + SEED_DTYPE fill
+                # in one OpenMP pass (psi_chunk.cpp psi_emit_join)
+                _, occ_start_u, gpos_stream, inv_c = join
+                return self._emit_join_native(
+                    counts, emit, inv_c, origin, occ_start_u,
+                    gpos_stream, index, seeds, uniq_start, uniq_end, k,
+                )
+            emit_idx, occ_rows, node_ids, node_offs = join
             row_per_occ = emit_idx[occ_rows]
             ui_per_occ = origin[row_per_occ]
         else:

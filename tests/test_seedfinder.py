@@ -215,3 +215,59 @@ def test_device_locate_route_matches_host(data_dir, monkeypatch):
         return sorted(map(tuple, arr.tolist()))
 
     assert run("1") == run("0")
+
+
+def test_native_emit_join_engaged_and_identical(monkeypatch):
+    """The fused native emission (psi_emit_join) must engage on the
+    chain route and produce the exact row ORDER of the NumPy join +
+    cross-product (not just the multiset)."""
+    import psi_tpu.native as native_mod
+    from psi_tpu.graph import Graph
+    from psi_tpu.records import Records
+    from psi_tpu.seed_finder import SeedFinder
+
+    if native_mod._load() is None or not hasattr(
+        native_mod._load(), "psi_emit_join"
+    ):
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("PSI_STREAM", "1")
+    monkeypatch.setenv("PSI_CHAIN_EAGER", "1")
+    monkeypatch.setenv("PSI_DEVICE_LOCATE", "1")
+
+    calls = {"n": 0}
+    orig = SeedFinder._emit_join_native
+
+    def wrapped(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SeedFinder, "_emit_join_native", wrapped)
+
+    rng = np.random.RandomState(1)
+    s = "".join(rng.choice(list("ACGT"), size=20000))
+    g = Graph.from_parts(
+        nodes={1: s[:10000], 2: s[10000:]}, edges=[(1, 2)],
+        paths=[("ref", [1, 2])],
+    )
+
+    def run():
+        f = SeedFinder(g, seed_len=13)
+        f.create_path_index(n=1, patched=False)
+        rng2 = np.random.RandomState(2)
+        reads = [s[p: p + 50] for p in rng2.randint(0, 19000, size=300)]
+        chunk = Records([f"r{i}" for i in range(len(reads))], reads)
+        seeds = f.get_seeds(chunk)
+        idx = f.index_reads(seeds)
+        return f.seeds_on_paths_arrays(seeds, idx)
+
+    a = run()
+    n_native = calls["n"]
+    assert n_native >= 1, "chain raw branch never engaged"
+    monkeypatch.setenv("PSI_NO_NATIVE", "1")
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    b = run()
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", False)
+    assert len(a) == len(b)
+    assert (a == b).all()
