@@ -59,9 +59,8 @@ void* psi_trie_schedule(const uint64_t* keys, int64_t n, int64_t k,
   for (int64_t i = 1; i < n; ++i) {
     const uint64_t x = keys[i - 1] ^ keys[i];
     // first differing digit from the top: digit d lives at bits
-    // [2(k-1-d), 2(k-1-d)+1]
-    int hb = 63;
-    while (((x >> hb) & 1) == 0) --hb;  // x != 0 (keys distinct)
+    // [2(k-1-d), 2(k-1-d)+1]; x != 0 (keys distinct)
+    const int hb = 63 - __builtin_clzll(x);
     cd[i] = (uint8_t)(k - 1 - hb / 2);
   }
 
@@ -70,14 +69,16 @@ void* psi_trie_schedule(const uint64_t* keys, int64_t n, int64_t k,
   std::vector<int32_t> ca, cb;            // children (key ranges)
   std::vector<int32_t> cpar;               // parent slot per child
   std::vector<uint8_t> cch;                // char-1 (0..3) per child
-  std::vector<int32_t> ta, tb, tpar;       // counting-sort scratch
-  std::vector<uint8_t> tch;
-  std::vector<uint8_t> dg(n);              // this level's digit plane
+  std::vector<int32_t> ta, tb;             // counting-sort scratch
+  ca.reserve(n);
+  cb.reserve(n);
+  cpar.reserve(n);
+  cch.reserve(n);
+  ta.reserve(n);
+  tb.reserve(n);
 
   for (int64_t j = 0; j < k; ++j) {
     const int shift = (int)(2 * (k - 1 - j));
-    for (int64_t i = 0; i < n; ++i)
-      dg[i] = (uint8_t)((keys[i] >> shift) & 3);
 
     const int64_t Fp = (int64_t)fa.size();
     ca.clear();
@@ -86,14 +87,17 @@ void* psi_trie_schedule(const uint64_t* keys, int64_t n, int64_t k,
     cch.clear();
     int64_t cnt[4] = {0, 0, 0, 0};
     const uint8_t lev = (uint8_t)j;
+    const uint8_t* cdp = cd.data();
     for (int64_t p = 0; p < Fp; ++p) {
       int32_t i = fa[p];
       const int32_t e = fb[p];
       while (i < e) {
-        const uint8_t d = dg[i];
+        // the level digit comes straight off the key (one 8 B read vs
+        // a separate n-byte plane pass per level)
+        const uint8_t d = (uint8_t)((keys[i] >> shift) & 3);
         const int32_t s = i;
         ++i;
-        while (i < e && cd[i] > lev) ++i;  // run of the (j+1)-prefix
+        while (i < e && cdp[i] > lev) ++i;  // run of the (j+1)-prefix
         ca.push_back(s);
         cb.push_back(i);
         cpar.push_back((int32_t)p);
@@ -103,28 +107,25 @@ void* psi_trie_schedule(const uint64_t* keys, int64_t n, int64_t k,
     }
     const int64_t F = (int64_t)ca.size();
 
-    // stable 4-bucket counting sort by char -> pattern order
+    // stable 4-bucket counting sort by char -> pattern order, writing
+    // parents/chars for this level directly (no scratch copies)
     int64_t off[4];
     off[0] = 0;
     for (int c = 1; c < 4; ++c) off[c] = off[c - 1] + cnt[c - 1];
     ta.resize(F);
     tb.resize(F);
-    tpar.resize(F);
-    tch.resize(F);
-    for (int64_t i = 0; i < F; ++i) {
-      const int64_t pos = off[cch[i]]++;
-      ta[pos] = ca[i];
-      tb[pos] = cb[i];
-      tpar[pos] = cpar[i];
-      tch[pos] = cch[i];
-    }
-
     auto& par = ts->parents[j];
     auto& ch = ts->chars[j];
     par.resize(F);
     ch.resize(F);
-    std::memcpy(par.data(), tpar.data(), sizeof(int32_t) * F);
-    for (int64_t i = 0; i < F; ++i) ch[i] = (int32_t)tch[i] + 1;
+    for (int64_t i = 0; i < F; ++i) {
+      const uint8_t d = cch[i];
+      const int64_t pos = off[d]++;
+      ta[pos] = ca[i];
+      tb[pos] = cb[i];
+      par[pos] = cpar[i];
+      ch[pos] = (int32_t)d + 1;
+    }
 
     fa.swap(ta);
     fb.swap(tb);
