@@ -208,16 +208,16 @@ def _expand_slots(csum: jax.Array, w: jax.Array, cap: int) -> jax.Array:
     live region j < csum[-1]; values past the end may differ — callers
     mask by `live` and clip).
 
-    PSI_EXPAND=scatter: scatter slot ids at run starts + one cummax —
+    Default = "scatter": scatter slot ids at run starts + one cummax —
     run starts are distinct for w>0 slots, so a max-scatter plus an
     associative max-scan replaces searchsorted's ~20 serialized gather
-    passes. Default stays "search" (the measured configuration) until
-    the scatter variant has a device number: XLA TPU scatter at 512 K
-    updates is an unmeasured risk. Read at trace time (A/B via
-    subprocess env, scripts/tpu_r3_kernels.py)."""
+    passes. Measured on v5e (scripts/tpu_r4_misc.py, rep-loop in one
+    jit, Npad=2^19 cap=2^20, equal outputs): scatter 50.3 ms vs search
+    181.6 ms per expand — 3.6x. PSI_EXPAND=search restores the old
+    path. Read at trace time (A/B via subprocess env)."""
     import os
 
-    if os.environ.get("PSI_EXPAND", "search") == "search":
+    if os.environ.get("PSI_EXPAND", "scatter") == "search":
         occ = jnp.arange(cap, dtype=jnp.int32)
         return jnp.searchsorted(csum, occ, side="right").astype(jnp.int32)
     starts = csum - w
