@@ -52,14 +52,21 @@ def load_last_good() -> dict | None:
         return None
 
 
-def probe_tpu(timeout_s: int = 90, attempts: int = 3) -> bool:
+def probe_tpu(timeout_s: int = 150, attempts: int = 3) -> bool:
     """Check TPU reachability in a subprocess (the tunnel can wedge a
     process forever; a stuck probe must not hang the benchmark). The
-    tunnel flaps, so retry a few times before giving up."""
+    tunnel flaps, so retry a few times before giving up. The probe
+    enables the persistent compile cache — without it the 8x8 matmul
+    recompiles through the remote relay on every probe, which alone
+    can exceed the timeout and misreport a healthy tunnel as down."""
     import subprocess
 
     code = (
-        "import jax, jax.numpy as jnp, numpy as np;"
+        "import os, jax, jax.numpy as jnp, numpy as np;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.path.expanduser('~/.cache/psi_tpu_xla'));"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 1.0);"
         "x = jnp.ones((8, 8));"
         "print(float(np.asarray(x @ x)[0, 0]))"
     )
