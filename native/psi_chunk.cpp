@@ -15,6 +15,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -199,6 +200,25 @@ void psi_radix_sort_kv(uint64_t* keys, int64_t* ids, int64_t n,
     std::memcpy(keys, src_k, sizeof(uint64_t) * n);
     std::memcpy(ids, src_i, sizeof(int64_t) * n);
   }
+}
+
+// Gather byte spans out of a buffer into one contiguous array (packs
+// the FASTQ scanner's per-record sequence spans without per-read
+// Python string round trips).
+void psi_gather_spans(const uint8_t* buf, const int64_t* starts,
+                      const int64_t* lens, int64_t n, uint8_t* out) {
+  int64_t o = 0;
+  std::vector<int64_t> offs(n + 1);
+  for (int64_t i = 0; i < n; ++i) {
+    offs[i] = o;
+    o += lens[i];
+  }
+  offs[n] = o;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i)
+    std::memcpy(out + offs[i], buf + starts[i], (size_t)lens[i]);
 }
 
 // Fused on-path emission: for each emitted search row, walk its gpos

@@ -259,11 +259,11 @@ def main(argv: Optional[list] = None) -> int:
     def producer():
         while True:
             offset = stream.counts()
-            names, seqs = stream.read_chunk(args.chunk_size)
+            names, packed = stream.read_chunk_packed(args.chunk_size)
             if not names:
                 work_q.put(None)
                 return
-            chunk = Records(names, seqs, rec_offset=offset)
+            chunk = Records(names, rec_offset=offset, packed=packed)
             seeds = finder.get_seeds(chunk, args.distance)
             index = finder.index_reads(seeds)
             # trie schedule + device transfer off the critical path:

@@ -109,6 +109,40 @@ class FastxStream:
                 break
         return names, seqs
 
+    def read_chunk_packed(self, n: int = 0):
+        """Read up to n records as (names, (data uint8, offsets int64))
+        — the packed Records form, with the sequence bytes gathered
+        natively (no per-read Python strings). Falls back to
+        read_chunk-derived packing when the native scanner or gather is
+        unavailable."""
+        import numpy as np
+
+        if self._buf is not None:
+            from psi_tpu import native
+
+            max_records = n if n else 1 << 62
+            buf_np = np.frombuffer(self._buf, dtype=np.uint8)[self._pos:]
+            if not len(buf_np):
+                return [], None
+            cap = min(max_records, max(1, len(buf_np) // 4))
+            out = native.fastq_scan_packed(buf_np, cap)
+            if out is not None:
+                names, data, offsets, consumed = out
+                self._pos += consumed
+                self._count += len(names)
+                return names, (data, offsets)
+        names, seqs = self.read_chunk(n)
+        if not names:
+            return [], None
+        text = "".join(seqs).encode("ascii")
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(s) for s in seqs), dtype=np.int64,
+                        count=len(seqs)),
+            out=offsets[1:],
+        )
+        return names, (np.frombuffer(text, dtype=np.uint8), offsets)
+
 
 def _open_binary(path: str):
     if path.endswith(".gz"):

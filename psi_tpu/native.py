@@ -165,6 +165,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 u64p, i64p, ctypes.c_int64, ctypes.c_int32, u64p, i64p,
             ]
             lib.psi_radix_sort_kv.restype = None
+        if hasattr(lib, "psi_gather_spans"):
+            lib.psi_gather_spans.argtypes = [
+                u8p, i64p, i64p, ctypes.c_int64, u8p,
+            ]
+            lib.psi_gather_spans.restype = None
         if hasattr(lib, "psi_emit_join"):
             lib.psi_emit_join.argtypes = [
                 i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p,
@@ -524,6 +529,28 @@ def extract_kmers(seqs, k: int, step: int, greedy_tail: bool = False):
     lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=R)
     offsets = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    return _extract_kmers_core(data, offsets, k, step, greedy_tail)
+
+
+def extract_kmers_packed(data: np.ndarray, offsets: np.ndarray, k: int,
+                         step: int, greedy_tail: bool = False):
+    """extract_kmers over a packed chunk (concatenated uint8 sequence
+    bytes + int64 [R+1] offsets) — no per-read Python strings, no
+    join. Or None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_extract_kmers"):
+        return None
+    return _extract_kmers_core(
+        np.ascontiguousarray(data, dtype=np.uint8),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        k, step, greedy_tail,
+    )
+
+
+def _extract_kmers_core(data, offsets, k, step, greedy_tail):
+    lib = _load()
+    R = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
     nwin = np.where(lens >= k, (lens - k) // step + 1, 0)
     if greedy_tail:
         # end-anchored final window when the last regular start missed
@@ -598,3 +625,35 @@ def emit_join(counts, emit_idx, inv, origin, occ_start_u, gpos_stream,
         out_rows.reshape(-1),
     )
     return True
+
+
+def fastq_scan_packed(buf: np.ndarray, max_records: int):
+    """Scan FASTQ records from a uint8 buffer view; returns
+    (names, data uint8[T], offsets int64[R+1], consumed) with the
+    sequence bytes packed contiguously (psi_gather_spans — no per-read
+    Python string round trips), or None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_gather_spans"):
+        return None
+    data = np.ascontiguousarray(buf, dtype=np.uint8)
+    ns = np.empty(max_records, dtype=np.int64)
+    nl = np.empty(max_records, dtype=np.int64)
+    ss = np.empty(max_records, dtype=np.int64)
+    sl = np.empty(max_records, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    nrec = lib.psi_fastq_scan(
+        data, len(data), max_records, ns, nl, ss, sl,
+        ctypes.byref(consumed)
+    )
+    ns, nl, ss, sl = ns[:nrec], nl[:nrec], ss[:nrec], sl[:nrec]
+    offsets = np.zeros(nrec + 1, dtype=np.int64)
+    np.cumsum(sl, out=offsets[1:])
+    packed = np.empty(int(offsets[-1]), dtype=np.uint8)
+    if nrec:
+        lib.psi_gather_spans(data, ss, sl, nrec, packed)
+    mv = data  # zero-copy name decode from the scan buffer
+    names = [
+        bytes(mv[ns[i]: ns[i] + nl[i]]).decode("ascii")
+        for i in range(nrec)
+    ]
+    return names, packed, offsets, consumed.value

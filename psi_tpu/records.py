@@ -21,24 +21,65 @@ BLOCK = 32  # rank checkpoint spacing: one 32-bit plane word per block
 
 class Records:
     """A chunk of named sequences with a global record offset
-    (ref: sequence.hpp:1131-1294; rec_offset semantics :1277-1289)."""
+    (ref: sequence.hpp:1131-1294; rec_offset semantics :1277-1289).
+
+    Sequences live either as a list of Python strings (`seqs`) or in
+    PACKED form — one contiguous uint8 byte array + int64 [R+1]
+    offsets — which the native chunk path consumes without any
+    per-read string round trips. `seqs` materializes lazily from the
+    packed form for the string consumers (host mirrors, MEM path)."""
 
     def __init__(self, names: Sequence[str] = (), seqs: Sequence[str] = (),
-                 rec_offset: int = 0):
+                 rec_offset: int = 0, packed=None):
         self.names: List[str] = list(names)
-        self.seqs: List[str] = list(seqs)
+        if packed is not None:
+            data, offsets = packed
+            self._packed = (
+                np.ascontiguousarray(data, dtype=np.uint8),
+                np.ascontiguousarray(offsets, dtype=np.int64),
+            )
+            self._seqs: List[str] | None = None
+        else:
+            self._seqs = list(seqs)
+            self._packed = None
         self.rec_offset = rec_offset
 
+    @property
+    def seqs(self) -> List[str]:
+        if self._seqs is None:
+            data, off = self._packed
+            b = data.tobytes()
+            self._seqs = [
+                b[off[i]: off[i + 1]].decode("ascii")
+                for i in range(len(off) - 1)
+            ]
+        return self._seqs
+
+    @seqs.setter
+    def seqs(self, value):
+        self._seqs = list(value)
+        self._packed = None
+
+    def packed_view(self):
+        """(data uint8[T], offsets int64[R+1]) or None when the chunk
+        holds strings only."""
+        return self._packed
+
     def __len__(self) -> int:
-        return len(self.seqs)
+        if self._seqs is None:
+            return len(self._packed[1]) - 1
+        return len(self._seqs)
 
     def clear(self):
         self.names = []
-        self.seqs = []
+        self._seqs = []
+        self._packed = None
         self.rec_offset = 0
 
     def length_sum(self) -> int:
-        return sum(len(s) for s in self.seqs)
+        if self._seqs is None:
+            return int(self._packed[1][-1])
+        return sum(len(s) for s in self._seqs)
 
     def position_to_id(self, rec_id: int) -> int:
         return self.rec_offset + rec_id
@@ -73,7 +114,14 @@ def seeding(reads: Records, k: int, step: int, greedy: bool = False) -> SeedSet:
     GreedyNonOverlapping, ref: sequence.hpp:1796-1816)."""
     from psi_tpu import native
 
-    out = native.extract_kmers(reads.seqs, k, step, greedy_tail=greedy)
+    out = None
+    pk = reads.packed_view() if hasattr(reads, "packed_view") else None
+    if pk is not None:
+        out = native.extract_kmers_packed(
+            pk[0], pk[1], k, step, greedy_tail=greedy
+        )
+    if out is None:
+        out = native.extract_kmers(reads.seqs, k, step, greedy_tail=greedy)
     if out is None:
         out = extract_kmers(reads.seqs, k, step, greedy_tail=greedy)
     keys, valid, seedmap = out

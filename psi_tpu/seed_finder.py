@@ -1328,22 +1328,30 @@ class SeedFinder:
         with self.stats.timeit_ts("query-paths"):
             k = self.seed_len
             N = len(reads)
-            L = max(len(s) for s in reads.seqs)
-            if L == 0:
-                return None
             lut = np.zeros(256, dtype=np.int32)
             for i, ch in enumerate("ACGT"):
                 lut[ord(ch)] = i + 1
                 lut[ord(ch.lower())] = i + 1
-            # one frombuffer over the concatenated chunk (no per-read
-            # Python on the batched MEM API): scatter each read's coded
-            # bytes into its padded row via a flat ragged->dense index
-            rlens = np.fromiter(
-                (len(s) for s in reads.seqs), dtype=np.int32, count=N
-            )
-            flat = np.frombuffer(
-                "".join(reads.seqs).encode("ascii"), dtype=np.uint8
-            )
+            # one pass over the concatenated chunk (no per-read Python
+            # on the batched MEM API): scatter each read's coded bytes
+            # into its padded row via a flat ragged->dense index.
+            # Packed chunks feed their byte array directly.
+            pk = reads.packed_view() if hasattr(
+                reads, "packed_view"
+            ) else None
+            if pk is not None:
+                flat, off = pk
+                rlens = (off[1:] - off[:-1]).astype(np.int32)
+            else:
+                rlens = np.fromiter(
+                    (len(s) for s in reads.seqs), dtype=np.int32, count=N
+                )
+                flat = np.frombuffer(
+                    "".join(reads.seqs).encode("ascii"), dtype=np.uint8
+                )
+            L = int(rlens.max()) if N else 0
+            if L == 0:
+                return None
             starts = np.zeros(N, dtype=np.int64)
             np.cumsum(rlens[:-1], out=starts[1:])
             total = int(rlens.sum())
