@@ -204,11 +204,15 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             src = rng.randint(0, len(strings), size=reads_per_chunk)
             starts = rng.randint(0, path_len - read_len, size=reads_per_chunk)
             data = np.empty((reads_per_chunk, read_len), dtype=np.uint8)
-            win = np.arange(read_len)
             for s in range(len(strings)):
                 rows = np.nonzero(src == s)[0]
                 if len(rows):
-                    data[rows] = sbytes[s][starts[rows, None] + win[None, :]]
+                    # sliding view + 1D row gather (a 2D start+offset
+                    # index matrix would be 8x the payload in int64)
+                    wv = np.lib.stride_tricks.sliding_window_view(
+                        sbytes[s], read_len
+                    )
+                    data[rows] = wv[starts[rows]]
             if altbytes:
                 for i in range(0, reads_per_chunk, 50):
                     c = altbytes[int(rng.randint(len(altbytes)))]
