@@ -1113,6 +1113,176 @@ def _compact_kernel(pwlo_ref, pnw_ref, slabc_ref, parent_ref, char_ref,
         jax.lax.fori_loop(0, pnw_ref[lane_slab], slab_pass, 0)
 
 
+def _compact_kernel_flat(pwlo_ref, pnw_ref, slabc_ref, parent_ref,
+                         char_ref, r4lo_ref, r4hi_ref, C_ref,
+                         outlo_ref, outhi_ref, winlo, winhi, semlo,
+                         semhi, prefix):
+    """_compact_kernel with a GLOBALLY flat window-prefetch pipeline
+    (the same restructuring that _rank4_kernel_flat applies to the
+    rank pass): parent-window visits are numbered globally across all
+    slabs of all grid steps from the scalar-prefetch pwlo/pnw tables,
+    and a RING-deep pipeline of (lo, hi) window copies spans slab and
+    grid-step boundaries.
+
+    MEASURED AND REFUTED on v5e (rep-scan trie A/B, 2^19 keys): 19.5
+    vs 13.8 ms/batch against the window-cache kernel. The cache skips
+    the copy entirely when consecutive slabs reuse a parent window —
+    the common case, since children are c-major and each char segment
+    sweeps the parent range slowly — while this ring pays two copies
+    per visit unconditionally. Kept as the measured A/B variant
+    (PSI_COMPACT=flat)."""
+    t = pl.program_id(0)
+    nslabs_total = prefix.shape[0] - 1
+
+    def slab_of(g):
+        def step(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi + 1) // 2
+            go = prefix[mid] <= g
+            return (jnp.where(go, mid, lo), jnp.where(go, hi, mid - 1))
+
+        bits = max((nslabs_total).bit_length(), 1)
+        lo, _ = jax.lax.fori_loop(
+            0, bits, step, (jnp.int32(0), jnp.int32(nslabs_total - 1))
+        )
+        return lo
+
+    def start_visit(g):
+        s = slab_of(g)
+        w = pwlo_ref[s] + (g - prefix[s])
+        slot = jax.lax.rem(g, RING)
+        wt = w // SLABS
+        ws = jax.lax.rem(w, SLABS)
+        pltpu.make_async_copy(
+            r4lo_ref.at[wt, ws], winlo.at[slot], semlo.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            r4hi_ref.at[wt, ws], winhi.at[slot], semhi.at[slot]
+        ).start()
+
+    @pl.when(t == 0)
+    def _():
+        def scan_body(i, acc):
+            prefix[i] = acc
+            return acc + pnw_ref[i]
+
+        total0 = jax.lax.fori_loop(
+            0, nslabs_total, scan_body, jnp.int32(0)
+        )
+        prefix[nslabs_total] = total0
+
+        def prologue(g, _):
+            @pl.when(g < total0)
+            def _():
+                start_visit(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, RING, prologue, 0)
+
+    total = prefix[nslabs_total]
+    for s in range(SLABS):
+        pidx = parent_ref[0, s]              # (8, 128) parent slots
+        cs = char_ref[0, s]
+        lane_slab = t * SLABS + s
+        slab_c = slabc_ref[lane_slab]
+        base = pwlo_ref[lane_slab]
+        gs = prefix[lane_slab]
+
+        def visit(j, _):
+            g = gs + j
+            w = base + j
+            slot = jax.lax.rem(g, RING)
+            pltpu.make_async_copy(
+                r4lo_ref.at[0, 0], winlo.at[slot], semlo.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                r4hi_ref.at[0, 0], winhi.at[slot], semhi.at[slot]
+            ).wait()
+
+            valid = (pidx // SLAB_Q) == w
+            lp = jnp.clip(pidx - w * SLAB_Q, 0, SLAB_Q - 1)
+            row = lp // WB
+            lane = lp % WB
+
+            @pl.when(slab_c > 0)
+            def _():
+                comp = slab_c - 1
+                plo = jnp.zeros((QROWS, WB), jnp.int32)
+                phi = jnp.zeros((QROWS, WB), jnp.int32)
+                for r in range(QROWS):
+                    hit = row == r
+                    glo = jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            winlo[slot, pl.ds(comp, 1), pl.ds(r, 1), :]
+                            .reshape(1, WB),
+                            (QROWS, WB),
+                        ),
+                        lane, axis=1,
+                    )
+                    ghi = jnp.take_along_axis(
+                        jnp.broadcast_to(
+                            winhi[slot, pl.ds(comp, 1), pl.ds(r, 1), :]
+                            .reshape(1, WB),
+                            (QROWS, WB),
+                        ),
+                        lane, axis=1,
+                    )
+                    plo = jnp.where(hit, glo, plo)
+                    phi = jnp.where(hit, ghi, phi)
+                cadd = C_ref[slab_c]
+                outlo_ref[0, s] = jnp.where(
+                    valid, cadd + plo, outlo_ref[0, s]
+                )
+                outhi_ref[0, s] = jnp.where(
+                    valid, cadd + phi, outhi_ref[0, s]
+                )
+
+            @pl.when(slab_c == 0)
+            def _():
+                plo = jnp.zeros((QROWS, WB), jnp.int32)
+                phi = jnp.zeros((QROWS, WB), jnp.int32)
+                for comp in range(4):
+                    sel_c = cs == (comp + 1)
+                    for r in range(QROWS):
+                        hit = sel_c & (row == r)
+                        glo = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                winlo[slot, comp, pl.ds(r, 1), :],
+                                (QROWS, WB),
+                            ),
+                            lane, axis=1,
+                        )
+                        ghi = jnp.take_along_axis(
+                            jnp.broadcast_to(
+                                winhi[slot, comp, pl.ds(r, 1), :],
+                                (QROWS, WB),
+                            ),
+                            lane, axis=1,
+                        )
+                        plo = jnp.where(hit, glo, plo)
+                        phi = jnp.where(hit, ghi, phi)
+                cadd = jnp.zeros((QROWS, WB), jnp.int32)
+                for c in range(1, 5):
+                    cadd = cadd + jnp.where(cs == c, C_ref[c], 0)
+                outlo_ref[0, s] = jnp.where(
+                    valid, cadd + plo, outlo_ref[0, s]
+                )
+                outhi_ref[0, s] = jnp.where(
+                    valid, cadd + phi, outhi_ref[0, s]
+                )
+
+            @pl.when(g + RING < total)
+            def _():
+                start_visit(g + RING)
+
+            return 0
+
+        outlo_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
+        outhi_ref[0, s] = jnp.zeros((QROWS, WB), jnp.int32)
+        jax.lax.fori_loop(0, pnw_ref[lane_slab], visit, 0)
+
+
 def compact_children(
     r4lo: jax.Array, r4hi: jax.Array,
     parent_idx: jax.Array, char: jax.Array, C: jax.Array,
@@ -1121,6 +1291,8 @@ def compact_children(
     """Assemble child ranges from rank4 outputs: parent_idx/char int32
     [M] (M multiple of QTILE), r4lo/r4hi [Tp, SLABS, 4, QROWS, WB].
     Returns (lo, hi) int32 [M] in child order."""
+    import os
+
     M = parent_idx.shape[0]
     T = M // QTILE
     by_slab = parent_idx.reshape(-1, SLAB_Q) // SLAB_Q
@@ -1132,7 +1304,32 @@ def compact_children(
     cmin = jnp.min(c_by_slab, axis=1)
     cmax = jnp.max(c_by_slab, axis=1)
     slab_c = jnp.where(cmin == cmax, cmin, 0).astype(jnp.int32)
+    # Default = the per-slab window-CACHE kernel: the flat-ring rework
+    # (PSI_COMPACT=flat) was built and REFUTED on v5e — 19.5 vs
+    # 13.8 ms/batch in the rep-scan trie A/B — because the cache skips
+    # the copy entirely when consecutive slabs reuse a parent window
+    # (common: children are c-major), while the ring re-copies every
+    # visit (docs/SCALING.md round 4).
+    flat = os.environ.get("PSI_COMPACT", "slab") == "flat"
     blk = (1, SLABS, QROWS, WB)
+    if flat:
+        scratch = [
+            pltpu.VMEM((RING, 4, QROWS, WB), jnp.int32),
+            pltpu.VMEM((RING, 4, QROWS, WB), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SMEM((T * SLABS + 1,), jnp.int32),
+        ]
+        kernel = _compact_kernel_flat
+    else:
+        scratch = [
+            pltpu.VMEM((4, QROWS, WB), jnp.int32),
+            pltpu.VMEM((4, QROWS, WB), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        kernel = _compact_kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -1147,17 +1344,11 @@ def compact_children(
             pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
             pl.BlockSpec(blk, lambda t, a, b, c: (t, 0, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((4, QROWS, WB), jnp.int32),
-            pltpu.VMEM((4, QROWS, WB), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     shape4 = (T, SLABS, QROWS, WB)
     lo4, hi4 = pl.pallas_call(
-        _compact_kernel,
+        kernel,
         out_shape=[
             jax.ShapeDtypeStruct(shape4, jnp.int32),
             jax.ShapeDtypeStruct(shape4, jnp.int32),

@@ -481,11 +481,14 @@ def _trie_device(
                 r4lo = jnp.zeros(shp, jnp.int32) + lo[0]
                 r4hi = jnp.zeros(shp, jnp.int32) + hi[0]
             elif _os_tctl.environ.get(
-                "PSI_RANK4_PAIR", "0"
+                "PSI_RANK4_PAIR", "1"
             ) not in ("", "0"):
-                # one launch ranks BOTH frontier arrays (half the
-                # kernel launches + shared window DMAs); A/B'd vs two
-                # rank4_stream calls in scripts/tpu_r4_kernels.py
+                # DEFAULT: one launch ranks BOTH frontier arrays (half
+                # the kernel launches + shared window DMAs). Measured
+                # on v5e rep-scan A/B: 11.8 vs 13.6 ms/batch against
+                # two rank4_stream calls (43.7 M kmers/s,
+                # docs/SCALING.md round 4); PSI_RANK4_PAIR=0 restores
+                # the two-pass form
                 r4lo, r4hi = fm_stream.rank4_pair_stream(
                     arrays, lo, hi, interpret=interpret
                 )
@@ -675,14 +678,16 @@ def prepare(
     if wire is None:
         wire = os.environ.get("PSI_TRIE_WIRE")
     if wire is None:
-        # packed everywhere: the round-4 rep-scan A/B (overhead-
-        # cancelled, scripts/tpu_r4_reploop.py) measured the packed
-        # derive as device-free (14.1 ms/batch vs plain 13.6 at 2^19
-        # keys) while the delta derive costs ~16 ms/batch of device
-        # time (29.8 ms) — delta's 3.5x upload cut only pays when the
-        # wire is the binding constraint (force PSI_TRIE_WIRE=delta on
-        # upload-starved links)
-        wire = "packed"
+        # Default by LINK, not by device: the round-4 rep-scan A/B
+        # (scripts/tpu_r4_reploop.py) measured the packed derive as
+        # device-free (14.1 ms/batch vs plain 13.6 at 2^19 keys) while
+        # the delta derive costs ~16 ms/batch of device time (29.8 ms)
+        # — but on the TUNNELED axon platform the schedule upload is
+        # the binding constraint (BENCH r4: packed wire pushed the
+        # prepare leg to 1.4 s/chunk and sustained DOWN to 0.74 M
+        # keys/s), so axon defaults to the 1 B/child delta wire and
+        # everything else (CPU, direct-attached TPU) to packed.
+        wire = "delta" if jax.default_backend() == "axon" else "packed"
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
