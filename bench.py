@@ -178,10 +178,20 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
     }
 
     def _prep_bytes(prep):
+        # count the fields the ACTIVE wire format actually uploads —
+        # prepare keeps the host-side plain schedule around regardless,
+        # and summing every non-None field over-reported the wire ~4x
+        # (46 MB/chunk for a ~10 MB packed upload)
+        if getattr(prep, "delta", None) is not None:
+            fields = ("delta", "dmeta", "dexc", "row_delta", "row_exc")
+        elif getattr(prep, "mask", None) is not None:
+            fields = ("mask", "ftab_rows")
+        elif getattr(prep, "poff", None) is not None:
+            fields = ("poff", "pbase", "charpk", "lo0", "hi0")
+        else:
+            fields = ("parents", "chars", "lo0", "hi0")
         total = 0
-        for f in ("delta", "dmeta", "dexc", "row_delta", "row_exc",
-                  "poff", "pbase", "charpk", "parents", "chars",
-                  "lo0", "hi0", "ftab_rows", "mask"):
+        for f in fields:
             a = getattr(prep, f, None)
             if a is not None and hasattr(a, "nbytes"):
                 total += int(a.nbytes)
@@ -198,8 +208,23 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         np.frombuffer(c.encode("ascii"), dtype=np.uint8) for c in alt_ctx
     ]
 
+    # two producer threads (alternate chunks): prepare (native sched +
+    # wire pack + device puts) runs ~0.3-0.8 s/chunk on this host and
+    # was the serial critical path; with two producers chunk n+1's
+    # prepare overlaps chunk n's
+    rng_lock = threading.Lock()
+    chunk_iter = iter(range(n_chunks))
+    chunk_rngs = [
+        np.random.RandomState(7000 + ci) for ci in range(n_chunks)
+    ]
+
     def producer():
-        for ci in range(n_chunks):
+        while True:
+            with rng_lock:
+                ci = next(chunk_iter, None)
+            if ci is None:
+                return
+            rng = chunk_rngs[ci]
             t_p0 = time.monotonic()
             src = rng.randint(0, len(strings), size=reads_per_chunk)
             starts = rng.randint(0, path_len - read_len, size=reads_per_chunk)
@@ -238,8 +263,20 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 legs["sched_bytes"] += _prep_bytes(prep[2])
             nkeys = len(np.unique(index.sorted_keys))
             work_q.put((ci, seeds, index, nkeys))
-        for _ in range(workers):
-            work_q.put(None)
+
+    n_producers = 2
+    prod_done = {"n": 0}
+
+    def producer_wrap():
+        try:
+            producer()
+        finally:
+            with rng_lock:
+                prod_done["n"] += 1
+                last = prod_done["n"] == n_producers
+            if last:
+                for _ in range(workers):
+                    work_q.put(None)
 
     def worker():
         while True:
@@ -263,7 +300,8 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 (ci, nkeys, index.size, len(arr), len(off))
             )
 
-    threading.Thread(target=producer, daemon=True).start()
+    for _ in range(n_producers):
+        threading.Thread(target=producer_wrap, daemon=True).start()
     for _ in range(workers):
         threading.Thread(target=worker, daemon=True).start()
 

@@ -253,8 +253,10 @@ def main(argv: Optional[list] = None) -> int:
     # third parallel axis — host I/O <-> device compute overlap)
     import queue
     import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     work_q: "queue.Queue" = queue.Queue(maxsize=2)
+    prep_pool = ThreadPoolExecutor(max_workers=1)
 
     def producer():
         while True:
@@ -266,10 +268,12 @@ def main(argv: Optional[list] = None) -> int:
             chunk = Records(names, rec_offset=offset, packed=packed)
             seeds = finder.get_seeds(chunk, args.distance)
             index = finder.index_reads(seeds)
-            # trie schedule + device transfer off the critical path:
-            # overlaps with device compute of the previous chunk
-            finder.prepare_onpath(index)
-            work_q.put((chunk, seeds, index))
+            # trie schedule + device transfer off the critical path,
+            # and PIPELINED: the prepare pool builds chunk n's plan
+            # while this thread parses/seeds chunk n+1 (the consumer
+            # waits on the future before querying)
+            fut = prep_pool.submit(finder.prepare_onpath, index)
+            work_q.put((chunk, seeds, index, fut))
             if args.chunk_size == 0:
                 work_q.put(None)
                 return
@@ -280,11 +284,12 @@ def main(argv: Optional[list] = None) -> int:
         item = work_q.get()
         if item is None:
             break
-        chunk, seeds, index = item
+        chunk, seeds, index, prep_fut = item
         log.info(
             "Fetched %d reads with total length of %dbp (%d seeds).",
             len(chunk), chunk.length_sum(), len(seeds),
         )
+        prep_fut.result()  # on-path plan ready (built off-thread)
         hits = finder.seeds_all_arrays(seeds, index)
         found += len(hits)
         n_chunks += 1
