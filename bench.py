@@ -354,7 +354,9 @@ def main():
     iters = int(os.environ.get("PSI_BENCH_ITERS", "5"))
 
     on_tpu = os.environ.get("JAX_PLATFORMS", "") == "axon"
-    if on_tpu and not probe_tpu():
+    if on_tpu and os.environ.get("PSI_BENCH_FORCE_TPU"):
+        pass  # caller already probed; a flap mid-run fails hard
+    elif on_tpu and not probe_tpu():
         # TPU tunnel unreachable: fall back to CPU with an explicit
         # metric name so the number is never mistaken for a chip result
         print("# TPU tunnel unreachable; benchmarking on CPU", file=sys.stderr)
