@@ -148,6 +148,12 @@ VARIANTS = [
                          "PSI_KEYMIX": "real"}),
     ("flat_packed_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "packed",
                           "PSI_KEYMIX": "real"}),
+    ("flat_compactflat", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                          "PSI_TRIE_PACK": "0", "PSI_COMPACT": "flat",
+                          "PSI_KEYMIX": "real"}),
+    ("flat_compactslab", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
+                          "PSI_TRIE_PACK": "0", "PSI_COMPACT": "slab",
+                          "PSI_KEYMIX": "real"}),
     ("mxu_plain_real", {"PSI_RANK4": "mxu", "PSI_TRIE_WIRE": "plain",
                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real"}),
     ("pair_plain_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
