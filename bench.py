@@ -26,6 +26,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 #: last-good TPU result, persisted in-repo so a round snapshot always
 #: carries a chip number even when the tunnel is down at snapshot time
 LAST_GOOD = os.path.join(
@@ -61,10 +63,11 @@ def probe_tpu(timeout_s: int = 150, attempts: int = 3) -> bool:
     can exceed the timeout and misreport a healthy tunnel as down."""
     import subprocess
 
+    from psi_tpu.cache import compile_cache_dir
+
     code = (
         "import os, jax, jax.numpy as jnp, numpy as np;"
-        "jax.config.update('jax_compilation_cache_dir',"
-        " os.path.expanduser('~/.cache/psi_tpu_xla'));"
+        f"jax.config.update('jax_compilation_cache_dir', {compile_cache_dir()!r});"
         "jax.config.update("
         "'jax_persistent_cache_min_compile_time_secs', 1.0);"
         "x = jnp.ones((8, 8));"
@@ -217,6 +220,11 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
     chunk_rngs = [
         np.random.RandomState(7000 + ci) for ci in range(n_chunks)
     ]
+    # chunk 0's prepare populates first-call lazy caches (ftab, device
+    # index arrays); later prepares must not race that initialization
+    # (the CLI serializes prepares through a 1-worker pool for the same
+    # reason), so producers of chunks > 0 wait for it
+    first_prep_done = threading.Event()
 
     def producer():
         while True:
@@ -254,13 +262,21 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             seeds = finder.get_seeds(chunk)
             index = finder.index_reads(seeds)
             t_p1 = time.monotonic()
-            finder.prepare_onpath(index)
+            if ci > 0:
+                first_prep_done.wait()
+            try:
+                finder.prepare_onpath(index)
+            finally:
+                if ci == 0:
+                    first_prep_done.set()
             t_p2 = time.monotonic()
-            legs["parse_seed_s"] += t_p1 - t_p0
-            legs["prepare_s"] += t_p2 - t_p1
             prep = getattr(index, "_onpath_prep", None)
-            if prep is not None:
-                legs["sched_bytes"] += _prep_bytes(prep[2])
+            sched_b = _prep_bytes(prep[2]) if prep is not None else 0
+            # dict += is a read-modify-write; two producers race it
+            with rng_lock:
+                legs["parse_seed_s"] += t_p1 - t_p0
+                legs["prepare_s"] += t_p2 - t_p1
+                legs["sched_bytes"] += sched_b
             nkeys = len(np.unique(index.sorted_keys))
             work_q.put((ci, seeds, index, nkeys))
 
@@ -290,12 +306,14 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             # on-path round trip
             t_w0 = time.monotonic()
             arr, off = finder.seeds_all_arrays(seeds, index, split=True)
-            legs["onoff_s"] += time.monotonic() - t_w0
-            legs["fetch_bytes"] += (
-                len(np.unique(index.sorted_keys)) * 2  # counts16
-                + (len(arr) + len(off)) * 3            # gpos24-ish
-            )
-            legs["chunks"] += 1
+            t_w1 = time.monotonic()
+            with rng_lock:
+                legs["onoff_s"] += t_w1 - t_w0
+                legs["fetch_bytes"] += (
+                    len(np.unique(index.sorted_keys)) * 2  # counts16
+                    + (len(arr) + len(off)) * 3            # gpos24-ish
+                )
+                legs["chunks"] += 1
             done_q.put(
                 (ci, nkeys, index.size, len(arr), len(off))
             )
@@ -370,13 +388,11 @@ def main():
         jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
 
     # persistent compile cache: first compile through the remote-compile
-    # relay can take minutes; reruns hit the cache
-    cache_dir = os.environ.get(
-        "PSI_COMPILE_CACHE", os.path.expanduser("~/.cache/psi_tpu_xla")
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # relay can take minutes; reruns hit the cache. Host-keyed so a
+    # cache written by a different VM's CPU can't SIGILL a fallback run.
+    from psi_tpu.cache import enable_compile_cache
+
+    enable_compile_cache(jax)
 
     import jax.numpy as jnp
 
@@ -543,8 +559,11 @@ def main():
                 f"({dev_s*1e3:.1f} ms/batch, overhead-cancelled)",
                 file=sys.stderr,
             )
-            if dev_rate > rates["trie"][0]:
-                rates["trie"] = (dev_rate, dev_s)
+            # distinct key: "trie" stays the end-to-end per-call
+            # measurement; "trie_device" is the overhead-cancelled
+            # in-jit rep-scan (different methodology, kept comparable
+            # run-to-run under its own name)
+            rates["trie_device"] = (dev_rate, dev_s)
         except Exception as exc:
             print(f"# trie rep-scan unavailable: {exc}", file=sys.stderr)
     except Exception as exc:  # pallas availability is platform-specific
@@ -604,6 +623,7 @@ def main():
             "vs_baseline": round(keys_s / cpp_baseline, 2),
             "platform": "tpu" if on_tpu else "cpu",
             "device_kernel_rate": round(device_rate, 1),
+            "device_kernel_mode": best,
             "seeds_per_s": round(seeds_s, 1),
             "offpath_loci_per_chunk": n_loci,
             "offpath_hits": off_hits,

@@ -167,7 +167,8 @@ void psi_seed_index_fill(const uint64_t* sorted_keys, int64_t V,
 // 2k bits. ids are initialized by the caller (compacted valid-seed
 // ids). Ping-pong between (keys, ids) and scratch; the sorted result
 // always lands back in (keys, ids). Single histogram pass per digit;
-// OpenMP-parallel histogramming, sequential scatter (stable).
+// both histogram and scatter are sequential (the stable scatter order
+// is load-bearing, and at chunk sizes the pass is memory-bound anyway).
 void psi_radix_sort_kv(uint64_t* keys, int64_t* ids, int64_t n,
                        int32_t key_bits, uint64_t* tmp_keys,
                        int64_t* tmp_ids) {

@@ -714,7 +714,10 @@ class SeedFinder:
                 int(seeds.rec_offset), int(k),
                 out_off, out.view(np.int64).reshape(total, 6),
             )
-            assert ok, "native emit_join vanished mid-run"
+            if not ok:
+                # not an assert: under python -O a stripped assert would
+                # silently emit the uninitialized np.empty rows as hits
+                raise RuntimeError("native emit_join vanished mid-run")
         return out
 
     def _get_mesh_repl(self, mesh, name: str, build):

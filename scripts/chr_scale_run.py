@@ -30,7 +30,8 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS", "")
     if plat and plat != "axon":
         jax.config.update("jax_platforms", plat)
-    cache = os.path.expanduser("~/.cache/psi_tpu_xla")
+    from psi_tpu.cache import compile_cache_dir
+    cache = compile_cache_dir()
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -18,8 +18,8 @@ sys.path.insert(0, "/root/repo")
 from psi_tpu.fmindex import FMIndex
 from psi_tpu.ops import fm as fm_ops
 
-cache = "/root/.cache/psi_tpu_xla"
-jax.config.update("jax_compilation_cache_dir", cache)
+from psi_tpu.cache import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 rng = np.random.RandomState(42)

@@ -16,7 +16,8 @@ import time, numpy as np
 import sys
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/psi_tpu_xla")
+from psi_tpu.cache import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from psi_tpu.fmindex import FMIndex
 from psi_tpu.ops import fm_pallas as fp

@@ -16,13 +16,11 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/psi_tpu_xla"))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/psi_tpu_xla"))
+from psi_tpu.cache import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 N = 1 << 19          # children / queries

@@ -18,8 +18,8 @@ MEASURE = r"""
 import json, os, time, numpy as np, sys
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/psi_tpu_xla"))
+from psi_tpu.cache import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from psi_tpu.ops import fm_trie
 

@@ -17,9 +17,8 @@ _SMOKE = r"""
 import os, sys
 import numpy as np
 import jax
-os.makedirs(os.path.expanduser("~/.cache/psi_tpu_xla"), exist_ok=True)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/psi_tpu_xla"))
+from psi_tpu.cache import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() not in ("cpu",), jax.default_backend()
 
