@@ -79,6 +79,11 @@ class StreamArrays(NamedTuple):
     #: per-window DMA descriptor issue (~2 us of scalar-core time each)
     #: is what dominates the windowed kernels on dense sorted batches
     payload8: jax.Array | None = None
+    #: match-format windowed layout [NW, 8, WB] (occ(ACGT) rows 0..3,
+    #: per-char match-mask words rows 4..7): rank for a KNOWN char is
+    #: 2 gathers + 1 popcount. Consumed by the fused whole-trie kernel
+    #: (ops/fm_fused.py); built when it fits the residency budget.
+    payloadW: jax.Array | None = None
 
 
 #: resident-payload VMEM budget (bytes): texts up to ~10 Mbp qualify
@@ -109,11 +114,27 @@ def build_stream_arrays(fm: FMIndex) -> StreamArrays:
         payload[6 + p, :] = words.view(np.int32)
     nw = nbpad // WB
     payload8 = None
+    payloadW = None
     if nw * 8 * WB * 4 <= RESIDENT_BUDGET:
         rows = payload[[1, 2, 3, 4, 6, 7, 8, 0]]  # occ ACGT, planes, pad
         payload8 = jnp.asarray(
             np.ascontiguousarray(
                 rows.reshape(8, nw, WB).transpose(1, 0, 2)
+            )
+        )
+        # match format: occ ACGT rows 0..3, match-mask words rows 4..7
+        # (bit i of row 4+c-1 set iff bwt[blk*32+i] == c; pad symbol
+        # 255 never matches, so padded tails rank as zero)
+        wrows = np.empty((8, nbpad), dtype=np.int32)
+        wrows[0:4] = payload[1:5]
+        for c in range(1, 5):
+            words = (
+                (symu == c).astype(np.uint32) * weights[None, :]
+            ).sum(axis=1, dtype=np.uint32)
+            wrows[4 + c - 1] = words.view(np.int32)
+        payloadW = jnp.asarray(
+            np.ascontiguousarray(
+                wrows.reshape(8, nw, WB).transpose(1, 0, 2)
             )
         )
     return StreamArrays(
@@ -122,6 +143,7 @@ def build_stream_arrays(fm: FMIndex) -> StreamArrays:
         n=n,
         nblocks=nblocks,
         payload8=payload8,
+        payloadW=payloadW,
     )
 
 

@@ -316,7 +316,7 @@ def _decode_counts16(words: np.ndarray, npad: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "use_pallas", "interpret", "packed", "with_counts", "masked",
-        "delta_wire", "mask_derive",
+        "delta_wire", "mask_derive", "fused",
     ),
 )
 def _trie_device(
@@ -342,6 +342,8 @@ def _trie_device(
     row_delta: jax.Array | None = None,  # uint8 [Npad]
     row_exc: jax.Array | None = None,    # int32 [2, E2]
     mask_derive: str = "sort",  # mask wire select: "sort" | "search"
+    fused: bool | None = None,  # single-launch fused route (None: env
+                                # PSI_TRIE_FUSED at trace time)
 ):
     n = arrays.n
     Npad = parents.shape[1] * (2 if masked else 1)
@@ -463,6 +465,28 @@ def _trie_device(
         import os as _os_tctl
 
         tctl = _os_tctl.environ.get("PSI_TRIE_CTL", "")
+
+        use_fused = fused
+        if use_fused is None:
+            use_fused = _os_tctl.environ.get(
+                "PSI_TRIE_FUSED", "1"
+            ) not in ("", "0")
+        if not tctl and use_fused:
+            # single-launch fused route: whole trie in ONE kernel with
+            # payload + frontier VMEM-resident (ops/fm_fused.py); falls
+            # through to the scan route when the shape doesn't fit
+            from psi_tpu.ops import fm_fused
+
+            if fm_fused.fits(arrays, Npad) and Npad % fm_fused.FTILE == 0:
+                def derive(_, xs_j):
+                    return None, unpack(xs_j)
+
+                _, (par_all, ch_all) = jax.lax.scan(derive, None, xs)
+                lo, hi = fm_fused.trie_fused(
+                    arrays, par_all, ch_all, lo0, hi0,
+                    interpret=interpret,
+                )
+                return (lo, hi, hi - lo) if with_counts else (lo, hi)
 
         def level(state, xs):
             # NOTE an interleaved single rank4 pass over
@@ -863,9 +887,12 @@ def trie_search(
     schedule build entirely."""
     if prepared is None:
         prepared = prepare(keys, k, ftab)
+    import os
+
     masked = prepared.mask is not None
     delta_wire = prepared.delta is not None
     packed = prepared.poff is not None
+    fused = os.environ.get("PSI_TRIE_FUSED", "1") not in ("", "0")
     ftab_tab = None
     if (masked and prepared.ftab_rows is not None) or (
         delta_wire and prepared.row_delta is not None
@@ -899,6 +926,7 @@ def trie_search(
         row_delta=prepared.row_delta,
         row_exc=prepared.row_exc,
         mask_derive=_mask_derive(),
+        fused=fused,
     )
     lo = np.asarray(lo)[prepared.leaf_perm]
     hi = np.asarray(hi)[prepared.leaf_perm]

@@ -140,25 +140,42 @@ print("RESULT " + json.dumps(out))
 """
 
 VARIANTS = [
+    # scan-route variants (PSI_TRIE_FUSED=0: the r4 rank4+compact form)
     ("flat_plain_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
-                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real"}),
+                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                         "PSI_TRIE_FUSED": "0"}),
     ("flat_plain_rand", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
-                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "rand"}),
+                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "rand",
+                         "PSI_TRIE_FUSED": "0"}),
     ("flat_delta_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "delta",
-                         "PSI_KEYMIX": "real"}),
+                         "PSI_KEYMIX": "real", "PSI_TRIE_FUSED": "0"}),
     ("flat_packed_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "packed",
-                          "PSI_KEYMIX": "real"}),
+                          "PSI_KEYMIX": "real", "PSI_TRIE_FUSED": "0"}),
     ("flat_compactflat", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
                           "PSI_TRIE_PACK": "0", "PSI_COMPACT": "flat",
-                          "PSI_KEYMIX": "real"}),
+                          "PSI_KEYMIX": "real", "PSI_TRIE_FUSED": "0"}),
     ("flat_compactslab", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
                           "PSI_TRIE_PACK": "0", "PSI_COMPACT": "slab",
-                          "PSI_KEYMIX": "real"}),
+                          "PSI_KEYMIX": "real", "PSI_TRIE_FUSED": "0"}),
     ("mxu_plain_real", {"PSI_RANK4": "mxu", "PSI_TRIE_WIRE": "plain",
-                        "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real"}),
+                        "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                        "PSI_TRIE_FUSED": "0"}),
     ("pair_plain_real", {"PSI_RANK4": "flat", "PSI_TRIE_WIRE": "plain",
                          "PSI_TRIE_PACK": "0", "PSI_RANK4_PAIR": "1",
-                         "PSI_KEYMIX": "real"}),
+                         "PSI_KEYMIX": "real", "PSI_TRIE_FUSED": "0"}),
+    # round-5 fused single-launch kernel (ops/fm_fused.py)
+    ("fused_plain_real", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                          "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real"}),
+    ("fused_plain_rand", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                          "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "rand"}),
+    ("fused_delta_real", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "delta",
+                          "PSI_KEYMIX": "real"}),
+    ("fused_plain_s16", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                         "PSI_FSLABS": "16"}),
+    ("fused_plain_s32", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                         "PSI_FSLABS": "32"}),
 ]
 
 _only = os.environ.get("PSI_AB_ONLY")

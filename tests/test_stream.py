@@ -200,11 +200,16 @@ def test_seed_finder_prepare_onpath_matches(monkeypatch):
     assert plain == prepared
 
 
-def test_trie_search_matches_generic():
+@pytest.mark.parametrize("fused", ["0", "1"])
+def test_trie_search_matches_generic(monkeypatch, fused):
     """Frontier level extension vs the per-query scan, on a text large
     enough for many payload windows (regression: correctness must not
-    depend on positions staying inside one window)."""
+    depend on positions staying inside one window). Covers both the
+    scan route (fused=0) and the single-launch fused route (fused=1,
+    ops/fm_fused.py) across every wire format."""
     from psi_tpu.ops import fm_trie
+
+    monkeypatch.setenv("PSI_TRIE_FUSED", fused)
 
     rng = np.random.RandomState(17)
     s = "".join(rng.choice(list("ACGT"), size=120_000))
@@ -261,6 +266,7 @@ def test_trie_search_pair_kernel(monkeypatch):
     l1, h1 = np.asarray(l1), np.asarray(h1)
     ftab = fm_ops.build_ftab(fm, 5)
     monkeypatch.setenv("PSI_RANK4_PAIR", "1")
+    monkeypatch.setenv("PSI_TRIE_FUSED", "0")  # pair kernel is the scan route
     prep = fm_trie.prepare(keys, k, ftab, wire="plain", pack=False)
     lo2, hi2 = fm_trie.trie_search(
         arr, keys, k, use_pallas=True, interpret=True, ftab=ftab,
