@@ -170,6 +170,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 u8p, i64p, i64p, ctypes.c_int64, u8p,
             ]
             lib.psi_gather_spans.restype = None
+        if hasattr(lib, "psi_fm_backward_batch"):
+            lib.psi_fm_backward_batch.argtypes = [
+                i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                i32p, ctypes.c_int64, ctypes.c_int32, i32p, i32p,
+            ]
+            lib.psi_fm_backward_batch.restype = ctypes.c_int64
         if hasattr(lib, "psi_emit_join"):
             lib.psi_emit_join.argtypes = [
                 i64p, i64p, ctypes.c_int64, i64p, i64p, i64p, i64p,
@@ -657,3 +663,26 @@ def fastq_scan_packed(buf: np.ndarray, max_records: int):
         for i in range(nrec)
     ]
     return names, packed, offsets, consumed.value
+
+
+def fm_backward_batch(payload: np.ndarray, C: np.ndarray, n: int,
+                      codes: np.ndarray):
+    """Single-core C++ backward search over the checkpointed bit-plane
+    payload (the measured sdsl-equivalent baseline, native/psi_fm.cpp).
+    payload: int32 [16, nbpad] (fm_stream.payload_host); codes: int32
+    [N, k] forward char order, symbols 1..4. Returns (lo, hi, nonempty)
+    or None without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "psi_fm_backward_batch"):
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.int32)
+    C = np.ascontiguousarray(C, dtype=np.int32)
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    N, k = codes.shape
+    lo = np.empty(N, dtype=np.int32)
+    hi = np.empty(N, dtype=np.int32)
+    nonempty = lib.psi_fm_backward_batch(
+        payload.reshape(-1), payload.shape[1], C, n,
+        codes.reshape(-1), N, k, lo, hi,
+    )
+    return lo, hi, int(nonempty)

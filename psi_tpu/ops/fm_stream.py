@@ -90,7 +90,15 @@ class StreamArrays(NamedTuple):
 RESIDENT_BUDGET = int(_os.environ.get("PSI_RESIDENT_BUDGET", 10 << 20))
 
 
-def build_stream_arrays(fm: FMIndex) -> StreamArrays:
+def payload_host(fm: FMIndex) -> np.ndarray:
+    """Host-side checkpointed bit-plane payload [16, nbpad] int32 (the
+    layout StreamArrays.payloadT carries to device). Also consumed
+    directly by the native single-core baseline (native/psi_fm.cpp)."""
+    payload, _, _ = _payload_parts(fm)
+    return payload
+
+
+def _payload_parts(fm: FMIndex):
     n = fm.size
     nblocks = n // SBLOCK + 1  # block of position n always addressable
     nbpad = -(-nblocks // WB) * WB
@@ -112,6 +120,14 @@ def build_stream_arrays(fm: FMIndex) -> StreamArrays:
             axis=1, dtype=np.uint32
         )
         payload[6 + p, :] = words.view(np.int32)
+    return payload, symu, weights
+
+
+def build_stream_arrays(fm: FMIndex) -> StreamArrays:
+    n = fm.size
+    nblocks = n // SBLOCK + 1
+    nbpad = -(-nblocks // WB) * WB
+    payload, symu, weights = _payload_parts(fm)
     nw = nbpad // WB
     payload8 = None
     payloadW = None

@@ -267,3 +267,44 @@ def test_radix_sort_kv_stable():
     order = np.argsort(keys, kind="stable")
     assert (k2 == keys[order]).all()
     assert (i2 == ids[order]).all()
+
+
+def test_fm_backward_batch_matches_host():
+    """native/psi_fm.cpp single-core backward search (the measured
+    bench baseline) is exact vs FMIndex.backward_search."""
+    from psi_tpu.fmindex import FMIndex
+    from psi_tpu.ops import fm_stream
+    from psi_tpu import native
+
+    rng = np.random.RandomState(11)
+    strings = ["".join(rng.choice(list("ACGT"), size=30_000))
+               for _ in range(2)]
+    fm = FMIndex.build_from_strings([s[::-1] for s in strings])
+    k = 14
+    N = 400
+    lut = {c: i for i, c in enumerate("ACGT")}
+    kmers = np.empty((N, k), dtype=np.int64)
+    half = N // 2
+    starts = rng.randint(0, 30_000 - k, size=half)
+    for r in range(half):
+        s = strings[r % 2]
+        kmers[r] = [lut[ch] for ch in s[starts[r]: starts[r] + k]]
+    kmers[half:] = rng.randint(0, 4, size=(N - half, k))
+    codes = (kmers + 1).astype(np.int32)
+    res = native.fm_backward_batch(
+        fm_stream.payload_host(fm), fm.C.astype(np.int32), fm.size, codes
+    )
+    if res is None:
+        pytest.skip("native library unavailable")
+    lo, hi, nonempty = res
+    n_ok = 0
+    for i in range(N):
+        pat = "".join("ACGT"[c] for c in kmers[i])
+        r = fm.backward_search(pat[::-1])
+        elo, ehi = r if isinstance(r, tuple) else (r.lo, r.hi)
+        assert ehi - elo == max(hi[i] - lo[i], 0)
+        if ehi > elo:
+            assert elo == lo[i]
+            n_ok += 1
+    assert n_ok >= half  # every true substring found
+    assert nonempty == n_ok
