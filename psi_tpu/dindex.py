@@ -47,6 +47,7 @@ round-1 per-source interval BFS over NODE pairs (mode == "node").
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -240,6 +241,18 @@ class DistanceIndex:
             # to anchor contraction): round-1 BFS fallback
             return DistanceIndex._build_bfs(idx, graph, dmax, per_component)
         idx.sup, idx.head, idx.tail = sup, head, tail
+
+        if os.environ.get("PSI_DINDEX_BUILD", "") == "device":
+            # TPU path-doubling build (ops/dindex_build.py): identical
+            # rows to the native reverse-topo DP, no sequential sweep
+            from psi_tpu.ops import dindex_build
+
+            res = dindex_build.build_super_device(
+                sup_len, s_indptr, s_indices, dmax
+            )
+            if res is not None:
+                idx.src_indptr, idx.dst, idx.iv_lo, idx.iv_hi = res
+                return idx
 
         from psi_tpu import native
 

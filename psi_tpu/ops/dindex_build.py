@@ -1,0 +1,230 @@
+"""Device-side distance-index construction: interval-semiring path
+doubling over the supernode DAG (the TPU-native counterpart of
+DiVerG's SpGEMM build, the reference's only accelerator-capable build
+stage; ref: include/psi/seed_finder.hpp:1193-1265, backend selection
+CMakeLists.txt:20-22 — SURVEY §2.2 assigned this half to JAX sparse
+kernels; the query half lives in ops/dindex_probe.py).
+
+The host builders (native/psi_dindex.cpp, dindex.py Python mirror) walk
+the DAG in reverse topological order — inherently sequential in DAG
+depth, which at pan-genome scale is ~#bubbles. Here the same capped
+interval sets are computed with NO topological sweep:
+
+    R_1        = direct supernode edges with gap interval [0, 0]
+    R_{2k}     = merge(R_k  ∪  R_k ⊗ R_k)
+    (i: s->m, [a1,b1]) ⊗ (j: m->t, [a2,b2])
+               = (s->t, [a1 + len(m) + a2,  b1 + len(m) + b2])
+
+capped at dmax-1 (values above the cap can never become feasible again
+— every extension adds positive length, so clip-and-drop is exact).
+Any pair with a feasible gap <= cap is connected by a path of at most
+cap+1 supernode hops, so ceil(log2(cap+1)) + 1 rounds reach the
+fixpoint. Each round is three vector stages, all TPU-friendly:
+
+  1. ragged JOIN via the scatter+cummax run-expansion (ops/fm_trie's
+     _expand_slots), no per-row loops;
+  2. one multi-key lax.sort of the candidate entries by (src, dst, lo);
+  3. segmented interval MERGE: an exclusive segmented running max of hi
+     (flag-style associative scan) marks interval starts; scatter
+     min/max compacts merged runs in place.
+
+Static capacities (entry slots E, join slots P) with overflow flags;
+the wrapper retries at the next power of two. Exact parity with the
+native reverse-topo DP is pinned in tests/test_dindex.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from psi_tpu.ops.fm_trie import _expand_slots
+
+
+def _seg_run_max_excl(hi: jax.Array, is_start: jax.Array) -> jax.Array:
+    """Exclusive segmented running max of `hi` over runs delimited by
+    `is_start` (classic flag/value associative scan)."""
+
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, jnp.maximum(av, bv))
+
+    _, m = jax.lax.associative_scan(op, (is_start, hi))
+    m_prev = jnp.concatenate([jnp.full((1,), -2, hi.dtype), m[:-1]])
+    return jnp.where(is_start, jnp.full_like(hi, -2), m_prev)
+
+
+@functools.partial(jax.jit, static_argnames=("E", "P", "rounds", "S"))
+def _doubling_device(
+    src0, dst0,          # int32 [E] base edges (padded with src = S)
+    sup_len,             # int32 [S]
+    cap,                 # int32 scalar (dmax - 1)
+    S: int, E: int, P: int, rounds: int,
+):
+    BIG = jnp.int32(S)
+
+    def merge(src, dst, lo, hi):
+        """Sort by (src, dst, lo) and coalesce intervals per (src, dst)
+        with integer-set semantics (adjacent intervals join)."""
+        n = src.shape[0]
+        src_s, dst_s, lo_s, hi_s = jax.lax.sort(
+            (src, dst, lo, hi), num_keys=3, is_stable=True
+        )
+        valid = src_s < BIG
+        prev_same = jnp.concatenate([
+            jnp.zeros(1, jnp.bool_),
+            (src_s[1:] == src_s[:-1]) & (dst_s[1:] == dst_s[:-1]),
+        ])
+        is_start = ~prev_same
+        m_prev = _seg_run_max_excl(hi_s, is_start)
+        new_run = (is_start | (lo_s > m_prev + 1)) & valid
+        mid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        nnz = mid[-1] + 1
+        idx = jnp.where(valid, mid, E)
+        out_src = jnp.full(E, BIG, jnp.int32).at[idx].min(
+            src_s, mode="drop")
+        out_dst = jnp.zeros(E, jnp.int32).at[idx].max(dst_s, mode="drop")
+        out_lo = jnp.full(E, jnp.int32(2**31 - 1)).at[idx].min(
+            lo_s, mode="drop")
+        out_hi = jnp.zeros(E, jnp.int32).at[idx].max(hi_s, mode="drop")
+        out_lo = jnp.where(out_src < BIG, out_lo, 0)
+        return out_src, out_dst, out_lo, out_hi, nnz
+
+    src, dst, lo, hi, nnz = merge(
+        src0, dst0, jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32)
+    )
+
+    def round_body(_, state):
+        src, dst, lo, hi, nnz, over = state
+        valid = src < BIG
+        # per-src row table over the CURRENT sorted entries
+        row_start = jnp.searchsorted(src, jnp.arange(S, dtype=jnp.int32),
+                                     side="left").astype(jnp.int32)
+        row_end = jnp.searchsorted(src, jnp.arange(S, dtype=jnp.int32),
+                                   side="right").astype(jnp.int32)
+        # join width per LEFT entry i: #entries of row dst[i]
+        dclip = jnp.clip(dst, 0, S - 1)
+        cnt = jnp.where(valid, row_end[dclip] - row_start[dclip], 0)
+        csum = jnp.cumsum(cnt)
+        total = csum[-1]
+        # int32 cumsum can wrap before the P check on adversarial row
+        # fan-outs; a float32 sum is exact enough for a threshold test
+        over = over | (total > P) | (
+            jnp.sum(cnt.astype(jnp.float32)) > jnp.float32(P)
+        )
+        slot = _expand_slots(csum, cnt, P)          # left entry per pair
+        slot_c = jnp.clip(slot, 0, E - 1)
+        within = jnp.arange(P, dtype=jnp.int32) - (
+            csum[slot_c] - cnt[slot_c]
+        )
+        live = jnp.arange(P, dtype=jnp.int32) < total
+        m = dclip[slot_c]                           # middle supernode
+        j = jnp.clip(row_start[m] + within, 0, E - 1)
+        shift = sup_len[m]
+        # don't trust slot/within past the live region
+        p_src = jnp.where(live, src[slot_c], BIG)
+        p_dst = dst[j]
+        p_lo = lo[slot_c] + shift + lo[j]
+        p_hi = jnp.minimum(hi[slot_c] + shift + hi[j], cap)
+        keep = live & (p_lo <= cap)
+        p_src = jnp.where(keep, p_src, BIG)
+        cand_src = jnp.concatenate([src, p_src])
+        cand_dst = jnp.concatenate([dst, jnp.where(keep, p_dst, 0)])
+        cand_lo = jnp.concatenate([lo, jnp.where(keep, p_lo, 0)])
+        cand_hi = jnp.concatenate([hi, jnp.where(keep, p_hi, 0)])
+        # merge back into E slots (overflow if more runs than E)
+        src2, dst2, lo2, hi2, nnz2 = _merge_wide(
+            cand_src, cand_dst, cand_lo, cand_hi
+        )
+        over = over | (nnz2 > E)
+        return src2, dst2, lo2, hi2, nnz2, over
+
+    def _merge_wide(src_c, dst_c, lo_c, hi_c):
+        src_s, dst_s, lo_s, hi_s = jax.lax.sort(
+            (src_c, dst_c, lo_c, hi_c), num_keys=3, is_stable=True
+        )
+        valid = src_s < BIG
+        prev_same = jnp.concatenate([
+            jnp.zeros(1, jnp.bool_),
+            (src_s[1:] == src_s[:-1]) & (dst_s[1:] == dst_s[:-1]),
+        ])
+        is_start = ~prev_same
+        m_prev = _seg_run_max_excl(hi_s, is_start)
+        new_run = (is_start | (lo_s > m_prev + 1)) & valid
+        mid = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        nnz = mid[-1] + 1
+        idx = jnp.where(valid & (mid < E), mid, E)
+        out_src = jnp.full(E, BIG, jnp.int32).at[idx].min(
+            src_s, mode="drop")
+        out_dst = jnp.zeros(E, jnp.int32).at[idx].max(dst_s, mode="drop")
+        out_lo = jnp.full(E, jnp.int32(2**31 - 1)).at[idx].min(
+            lo_s, mode="drop")
+        out_hi = jnp.zeros(E, jnp.int32).at[idx].max(hi_s, mode="drop")
+        out_lo = jnp.where(out_src < BIG, out_lo, 0)
+        return out_src, out_dst, out_lo, out_hi, nnz
+
+    src, dst, lo, hi, nnz, over = jax.lax.fori_loop(
+        0, rounds, round_body,
+        (src, dst, lo, hi, nnz, jnp.bool_(False)),
+    )
+    return src, dst, lo, hi, nnz, over
+
+
+def build_super_device(
+    sup_len: np.ndarray,
+    s_indptr: np.ndarray,
+    s_indices: np.ndarray,
+    dmax: int,
+):
+    """Device path-doubling build over the supernode DAG. Returns
+    (src_indptr, dst, iv_lo, iv_hi) int64 CSR identical to
+    native.dindex_super_build, or None when inputs don't fit int32.
+
+    The caller guarantees a DAG (cyclic graphs take the BFS fallback
+    upstream); the doubling itself would also terminate on cycles (the
+    cap prunes), but parity is only defined for the DAG path."""
+    S = int(len(sup_len))
+    nedge = int(len(s_indices))
+    if S == 0 or nedge == 0:
+        return (np.zeros(S + 1, dtype=np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    if S >= 2**31 - 2 or dmax >= 2**30:
+        return None
+    cap = dmax - 1
+    src_e = np.repeat(
+        np.arange(S, dtype=np.int32), np.diff(s_indptr).astype(np.int64)
+    )
+    dst_e = s_indices.astype(np.int32)
+    rounds = max(int(cap + 1).bit_length(), 1) + 1
+    E = max(64, 1 << (max(nedge * 4 - 1, 1)).bit_length())
+    P = 2 * E
+    sup32 = jnp.asarray(np.asarray(sup_len, dtype=np.int32))
+    while True:
+        base_src = np.full(E, S, dtype=np.int32)
+        base_dst = np.zeros(E, dtype=np.int32)
+        base_src[:nedge] = src_e
+        base_dst[:nedge] = dst_e
+        src, dst, lo, hi, nnz, over = _doubling_device(
+            jnp.asarray(base_src), jnp.asarray(base_dst), sup32,
+            jnp.int32(cap), S, E, P, rounds,
+        )
+        if bool(np.asarray(over)):
+            if E >= 1 << 30:
+                return None
+            E *= 2
+            P = 2 * E
+            continue
+        n = int(np.asarray(nnz))
+        src_h = np.asarray(src[:n]).astype(np.int64)
+        dst_h = np.asarray(dst[:n]).astype(np.int64)
+        lo_h = np.asarray(lo[:n]).astype(np.int64)
+        hi_h = np.asarray(hi[:n]).astype(np.int64)
+        indptr = np.zeros(S + 1, dtype=np.int64)
+        np.add.at(indptr, src_h + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return indptr, dst_h, lo_h, hi_h

@@ -78,6 +78,12 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
                   lo0_ref, hi0_ref, payloadW_ref, C_ref,
                   outlo_ref, outhi_ref,
                   pvmem, fbuf, sem):
+    # PSI_FUSED_CTL (trace-time env, DIAGNOSTIC ONLY — WRONG RESULTS):
+    # "empty" writes constants (glue + grid floor); "noparent" skips
+    # the frontier gather (ranks at clipped parent slot ids);
+    # "norank" passes the gathered positions through (parent gather +
+    # glue only). Never set in production.
+    ctl = os.environ.get("PSI_FUSED_CTL", "")
     j = pl.program_id(0)
     t = pl.program_id(1)
     T = pl.num_programs(1)
@@ -109,6 +115,14 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
 
         zero = jnp.zeros((QROWS, WB), jnp.int32)
 
+        if ctl == "empty":
+            keep = (pidx[0, 0] + cs[0, 0]) * 0
+            outlo_ref[0, s] = zero + keep
+            outhi_ref[0, s] = zero + keep
+            fbuf[wb, 0, fs] = zero + keep
+            fbuf[wb, 1, fs] = zero + keep
+            continue
+
         def ppass(jj, carry):
             # gather lo[parent], hi[parent] from the resident frontier:
             # window w covers slots [w*1024, (w+1)*1024) as (8, 128)
@@ -136,14 +150,22 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
                 phi = jnp.where(hit, ghi, phi)
             return plo, phi
 
-        plo, phi = jax.lax.fori_loop(
-            0, pnw_ref[lin], ppass, (zero, zero)
-        )
+        if ctl == "noparent":
+            plo = pidx  # slot ids as fake positions (< Npad <= n)
+            phi = pidx
+        else:
+            plo, phi = jax.lax.fori_loop(
+                0, pnw_ref[lin], ppass, (zero, zero)
+            )
+        if ctl == "norank":
+            outlo_ref[0, s] = plo
+            outhi_ref[0, s] = phi
+            fbuf[wb, 0, fs] = plo
+            fbuf[wb, 1, fs] = phi
+            continue
 
         blo = plo // SBLOCK
         bhi = phi // SBLOCK
-        wmin = jnp.minimum(jnp.min(blo), jnp.min(bhi)) // WB
-        wmax = jnp.maximum(jnp.max(blo), jnp.max(bhi)) // WB
         masklo = (1 << (plo % SBLOCK)) - 1
         maskhi = (1 << (phi % SBLOCK)) - 1
 
@@ -174,8 +196,19 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
 
         @pl.when(slab_c > 0)
         def _():
-            # uniform-char slab (all but <=3 boundary slabs per level)
+            # uniform-char slab (the hot case: all but the char-
+            # boundary slabs of a level). The slab lies inside ONE char
+            # segment, where parents are strictly increasing and the
+            # parent frontier is pattern-monotone — so the gathered
+            # positions are non-decreasing and the window bounds are
+            # just the slab's EDGE elements (two scalar reads, not
+            # vector->scalar reductions). NOT true across segments:
+            # the parent sequence restarts at each boundary, so mixed
+            # slabs below reduce for real.
             comp = slab_c - 1
+            wmin = jnp.minimum(blo[0, 0], bhi[0, 0]) // WB
+            wmax = jnp.maximum(blo[QROWS - 1, WB - 1],
+                               bhi[QROWS - 1, WB - 1]) // WB
 
             def rpass(jj, carry):
                 rlo, rhi = carry
@@ -195,7 +228,11 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
 
         @pl.when(slab_c == 0)
         def _():
-            # mixed-char boundary slab: all 4 components + select
+            # mixed-char boundary slab: positions are only per-segment
+            # monotone, so bound windows by FULL min/max reductions
+            wmin = jnp.minimum(jnp.min(blo), jnp.min(bhi)) // WB
+            wmax = jnp.maximum(jnp.max(blo), jnp.max(bhi)) // WB
+
             def rpass(jj, carry):
                 rlo, rhi = carry
                 w = wmin + jj

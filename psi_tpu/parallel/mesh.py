@@ -370,12 +370,15 @@ def sharded_expand_locate(
     thr: int,
     k: int,
     cap: int,
-) -> np.ndarray:
+    local_only: bool = False,
+):
     """The device-chained occurrence expansion + locate, per shard: each
     device expands its own DEVICE-RESIDENT (lo, hi) ranges against the
     replicated SA and downloads one int32 global position per hit
     (gpos-only download — the round-3 chain's transfer profile, now on
-    the mesh). Returns np int32 [D, cap]."""
+    the mesh). Returns np int32 [D, cap]; with `local_only` returns
+    (gpos [D, cap] filled for addressable shards, local_ds bool [D])
+    and skips the cross-process allgather."""
     from psi_tpu.ops import fm_trie
 
     from psi_tpu.parallel.distributed import put_global
@@ -403,10 +406,25 @@ def sharded_expand_locate(
     )
     gpos = fn(lo_d, hi_d, nl)
     if jax.process_count() > 1:
+        if local_only:
+            # process-sharded emission: fetch ONLY this process's
+            # addressable shards; the caller joins/emits its key
+            # slice and the merged hit stream is the concatenation of
+            # the processes' disjoint streams (VERDICT r4 item 3)
+            out = np.zeros((D, cap), dtype=np.int32)
+            local_ds = np.zeros(D, dtype=bool)
+            for s in gpos.addressable_shards:
+                d = s.index[0].start or 0
+                out[d] = np.asarray(s.data)[0]
+                local_ds[d] = True
+            return out, local_ds
         from jax.experimental import multihost_utils
 
         gpos = multihost_utils.process_allgather(gpos, tiled=True)
-    return np.asarray(gpos)
+    arr = np.asarray(gpos)
+    if local_only:
+        return arr, np.ones(D, dtype=bool)
+    return arr
 
 
 def sharded_traverse_dispatch(
@@ -475,25 +493,53 @@ def sharded_traverse_dispatch(
     return (out, D, per)
 
 
-def sharded_traverse_collect(pending):
+def sharded_traverse_collect(pending, local_only: bool = False):
     """Fetch a sharded_traverse_dispatch result. Returns (locus_idx
-    [global ids], lo, hi, n_used[D], overflow[D], tstats[D, 3]) with
-    per-shard arrays of width cap_local."""
+    [global ids], lo, hi, n_used[D], overflow[D], tstats[D, 3],
+    local_ds bool [D]) with per-shard arrays of width cap_local.
+
+    With `local_only` on a multi-process mesh, the BULK survivor
+    payloads (li/lo/hi) are fetched only for this process's addressable
+    shards (local_ds marks them) — each process then emits only its
+    loci shard's hits and the merged stream is the concatenation of
+    disjoint per-process streams. The tiny control arrays (n_used,
+    overflow, tstats) are still allgathered: the overflow retry must be
+    a GLOBAL decision (the re-dispatch is collective) and the traversal
+    stats stay globally consistent."""
     (li, lo, hi, nu, ov, ts), D, per = pending
+    local_ds = np.ones(D, dtype=bool)
     if jax.process_count() > 1:
-        # DCN-spanning mesh: gather every process's loci-shard results
         from jax.experimental import multihost_utils
 
-        li, lo, hi, nu, ov, ts = (
-            multihost_utils.process_allgather(a, tiled=True)
-            for a in (li, lo, hi, nu, ov, ts)
-        )
+        if local_only:
+            nu, ov, ts = (
+                multihost_utils.process_allgather(a, tiled=True)
+                for a in (nu, ov, ts)
+            )
+
+            def fetch_local(a):
+                cap_l = a.shape[-1] if a.ndim > 1 else 1
+                out = np.zeros((D,) + a.shape[1:], dtype=a.dtype)
+                for s in a.addressable_shards:
+                    d = s.index[0].start or 0
+                    out[d] = np.asarray(s.data)[0]
+                return out
+
+            local_ds = np.zeros(D, dtype=bool)
+            for s in li.addressable_shards:
+                local_ds[s.index[0].start or 0] = True
+            li, lo, hi = fetch_local(li), fetch_local(lo), fetch_local(hi)
+        else:
+            li, lo, hi, nu, ov, ts = (
+                multihost_utils.process_allgather(a, tiled=True)
+                for a in (li, lo, hi, nu, ov, ts)
+            )
     li = np.asarray(li)
     # locus indices are shard-local: rebase to global locus ids
     li = li + (np.arange(D, dtype=np.int32) * per)[:, None]
     return (
         li, np.asarray(lo), np.asarray(hi),
-        np.asarray(nu), np.asarray(ov), np.asarray(ts),
+        np.asarray(nu), np.asarray(ov), np.asarray(ts), local_ds,
     )
 
 

@@ -627,6 +627,12 @@ class SeedFinder:
         search_keys may be unsorted or contain duplicates (Hamming-ball
         expansion); results are returned in input order. `prep` is a
         (uniq, inv, PreparedTrie) tuple from `prepare_onpath`.
+
+        Returns (lo, hi, local_mask): local_mask is None except under
+        process-sharded multihost emission, where it marks the search
+        rows whose distinct key lives on THIS process's device shards
+        (the caller restricts emission to them; the merged stream is
+        the concatenation of the processes' disjoint streams).
         """
         import jax
 
@@ -640,6 +646,7 @@ class SeedFinder:
         sarr = self._get_stream_arrays()
         on_tpu = jax.default_backend() not in ("cpu",)
         mesh = self._get_mesh()
+        lmask = None
         if mesh is not None:
             from psi_tpu.parallel import mesh as mesh_mod
 
@@ -647,16 +654,28 @@ class SeedFinder:
                 prepared, mesh_mod.ShardedPreparedTrie
             ):
                 prepared = None  # plan was built single-device; rebuild
+            if prepared is None:
+                prepared = mesh_mod.prepare_trie_sharded(
+                    mesh, uniq, k, self.pindex.fm.size, self._get_ftab()
+                )
             lo, hi = mesh_mod.sharded_trie_search(
                 mesh, sarr, uniq, k, use_pallas=on_tpu,
                 ftab=self._get_ftab(), prepared=prepared,
             )
+            if self._mh_emit_sharded():
+                pid = jax.process_index()
+                m_u = np.zeros(len(uniq), dtype=bool)
+                per = prepared.per
+                for d, dev in enumerate(mesh.devices.flat):
+                    if dev.process_index == pid and prepared.sizes[d]:
+                        m_u[d * per: d * per + prepared.sizes[d]] = True
+                lmask = m_u[inv]
         else:
             lo, hi = fm_trie.trie_search(
                 sarr, uniq, k, use_pallas=on_tpu, ftab=self._get_ftab(),
                 prepared=prepared,
             )
-        return lo[inv], hi[inv]
+        return lo[inv], hi[inv], lmask
 
     def _chain_join(self, counts, emit, inv, occ_start_u, gpos_stream):
         """The deterministic seed join shared by the single-device and
@@ -672,7 +691,10 @@ class SeedFinder:
         from psi_tpu import native
 
         if native.available() and hasattr(native._load(), "psi_emit_join"):
-            return ("raw", occ_start_u, gpos_stream, inv)
+            # the emit mask rides along: in process-sharded emission it
+            # is restricted to this process's key shards and MUST be the
+            # one the native join uses (the outer emit is global)
+            return ("raw", occ_start_u, gpos_stream, inv, emit)
         pm = self._path_map
         emit_idx = np.nonzero(emit)[0]
         widths = counts[emit]
@@ -816,15 +838,28 @@ class SeedFinder:
                 mesh, "maps",
                 lambda: (maps.str_starts, maps.lengths, maps.seq_off),
             )
+            local_only = self._mh_emit_sharded()
             gpos2 = mesh_mod.sharded_expand_locate(
                 mesh, sa_r, maps_r[0], maps_r[1], maps_r[2],
                 lo_d, hi_d, np.asarray(prepared.sizes), thr32, k, cap,
+                local_only=local_only,
             )
-            base_d = np.cumsum(tot_d) - tot_d
+            if local_only:
+                gpos2, local_ds = gpos2
+            else:
+                local_ds = np.ones(D, dtype=bool)
+            # local-only: the gpos stream holds only this process's
+            # shards; keys of non-local shards are masked out of the
+            # emit set, so the join never reads a missing shard's
+            # positions and the emitted hit stream is this process's
+            # disjoint slice of the global one
+            tot_emit = np.where(local_ds, tot_d, 0)
+            base_d = np.cumsum(tot_emit) - tot_emit
             gpos_stream = np.concatenate(
-                [gpos2[d, : tot_d[d]] for d in range(D)]
+                [gpos2[d, : tot_emit[d]] for d in range(D)]
             ).astype(np.int64)
             occ_start_u = np.zeros(N, dtype=np.int64)
+            local_key = np.zeros(N, dtype=bool)
             for d in range(D):
                 if prepared.sizes[d]:
                     sl = slice(d * per, d * per + prepared.sizes[d])
@@ -832,8 +867,12 @@ class SeedFinder:
                         (np.cumsum(w2[d]) - w2[d])[prepared.leaf_perms[d]]
                         + base_d[d]
                     )
+                    local_key[sl] = local_ds[d]
+            emit_loc = emit if local_ds.all() else (
+                emit & local_key[inv]
+            )
             return self._chain_join(
-                counts, emit, inv, occ_start_u, gpos_stream
+                counts, emit_loc, inv, occ_start_u, gpos_stream
             )
 
         return counts, emit, occurrences
@@ -1143,21 +1182,24 @@ class SeedFinder:
             if not emit.any():
                 return None
             join = row_per_occ_fn()
-            if isinstance(join, tuple) and len(join) == 4 \
+            if isinstance(join, tuple) and len(join) == 5 \
                     and isinstance(join[0], str) and join[0] == "raw":
                 # native fused join: cross-product + SEED_DTYPE fill
-                # in one OpenMP pass (psi_chunk.cpp psi_emit_join)
-                _, occ_start_u, gpos_stream, inv_c = join
+                # in one OpenMP pass (psi_chunk.cpp psi_emit_join);
+                # the tuple's own emit mask is authoritative (it may be
+                # process-shard-restricted)
+                _, occ_start_u, gpos_stream, inv_c, emit_r = join
                 return self._emit_join_native(
-                    counts, emit, inv_c, origin, occ_start_u,
+                    counts, emit_r, inv_c, origin, occ_start_u,
                     gpos_stream, index, seeds, uniq_start, uniq_end, k,
                 )
             emit_idx, occ_rows, node_ids, node_offs = join
             row_per_occ = emit_idx[occ_rows]
             ui_per_occ = origin[row_per_occ]
         else:
+            lmask = None
             if self._stream_enabled():
-                lo, hi = self._search_stream(
+                lo, hi, lmask = self._search_stream(
                     search_keys, k, prep=getattr(index, "_onpath_prep", None)
                 )
             else:
@@ -1176,6 +1218,10 @@ class SeedFinder:
                 int(counts[emit].sum()), int(emit.sum())
             )
             tstats.inc_gocc_skips(int(skipped.sum()))
+            if lmask is not None:
+                # process-sharded emission: expand/locate/join only the
+                # local key shards (stats above stay global)
+                emit = emit & lmask
 
             if not emit.any():
                 return None
@@ -1659,8 +1705,13 @@ class SeedFinder:
 
         _, handle, cap_local, g, sa, mesh = pending
         sn, so = self._get_loci_np()
+        local_only = self._mh_emit_sharded()
         while True:
-            li, lo, hi, nu, ov, ts = sharded_traverse_collect(handle)
+            li, lo, hi, nu, ov, ts, local_ds = sharded_traverse_collect(
+                handle, local_only=local_only
+            )
+            # overflow is allgathered even in local-only mode: the
+            # cap-doubling re-dispatch is a collective decision
             if ov.any():
                 cap_local *= 2
                 handle = sharded_traverse_dispatch(
@@ -1677,19 +1728,36 @@ class SeedFinder:
             self.stats.get_this_thread_stats().add_traversal(
                 gd, ended + n_surv, ended_len + n_surv * self.seed_len
             )
+        # local-only: join/emit only this process's loci shards (the
+        # global stream is the concatenation of the disjoint
+        # per-process streams; SURVEY §5 order-insensitive emission)
+        nu_emit = np.where(local_ds, nu, 0)
         keep_li = np.concatenate(
-            [li[d, : nu[d]] for d in range(li.shape[0])]
+            [li[d, : nu_emit[d]] for d in range(li.shape[0])]
         )
         keep_lo = np.concatenate(
-            [lo[d, : nu[d]] for d in range(lo.shape[0])]
+            [lo[d, : nu_emit[d]] for d in range(lo.shape[0])]
         )
         keep_hi = np.concatenate(
-            [hi[d, : nu[d]] for d in range(hi.shape[0])]
+            [hi[d, : nu_emit[d]] for d in range(hi.shape[0])]
         )
         return trav.traverse_columnar_from_states(
             index, self.starting_loci, keep_li, keep_lo, keep_hi,
             self.seed_len,
         )
+
+    @staticmethod
+    def _mh_emit_sharded() -> bool:
+        """Process-sharded emission (multi-process mesh only): each
+        process fetches/joins/emits only its addressable shards' hits;
+        merging is concatenation of disjoint streams. On by default;
+        PSI_MH_EMIT=full restores replicated emission (every process
+        computes the full stream — the pre-round-5 behavior)."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return False
+        return os.environ.get("PSI_MH_EMIT", "shard") != "full"
 
     def _get_loci_np(self):
         """Host-side starting-loci arrays (cached per loci set)."""

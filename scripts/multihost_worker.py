@@ -215,10 +215,31 @@ def main():
     hits_1 = f_1.seeds_all_arrays(seeds_1, index_1)
     key = ["node_id", "node_offset", "read_id", "read_offset",
            "match_len", "gocc"]
-    pipeline_ok = bool(
-        np.array_equal(np.sort(hits_m, order=key),
-                       np.sort(hits_1, order=key))
-    ) and len(hits_m) > 0
+    mh_emit = os.environ.get("PSI_MH_EMIT", "shard")
+    if nproc > 1 and mh_emit != "full":
+        # process-sharded emission: every process holds a disjoint
+        # slice of the hit stream; merge = concatenation. Verify the
+        # merged multiset on process 0.
+        np.save(f"{out}.hits{pid}.npy", hits_m)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("emit_done")
+        if pid == 0:
+            hits_merged = np.concatenate([
+                np.load(f"{out}.hits{q}.npy") for q in range(nproc)
+            ])
+            pipeline_ok = bool(
+                np.array_equal(np.sort(hits_merged, order=key),
+                               np.sort(hits_1, order=key))
+            ) and len(hits_merged) > 0
+            hits_m = hits_merged
+        else:
+            pipeline_ok = True
+    else:
+        pipeline_ok = bool(
+            np.array_equal(np.sort(hits_m, order=key),
+                           np.sort(hits_1, order=key))
+        ) and len(hits_m) > 0
     # warm per-phase split: prepare (host schedule + upload), on-path,
     # off-path — each timed separately on the mesh finder
     reps = 1 if big else 3
@@ -260,6 +281,7 @@ def main():
                     "t_onpath_warm": t_onpath_warm,
                     "t_offpath_warm": t_offpath_warm,
                     "scale": "big" if big else "ci",
+                    "mh_emit": mh_emit if nproc > 1 else "n/a",
                 },
                 fh,
             )

@@ -176,6 +176,17 @@ VARIANTS = [
     ("fused_plain_s32", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
                          "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
                          "PSI_FSLABS": "32"}),
+    # fused-kernel cost attribution (DIAGNOSTIC: parity=False expected)
+    ("fused_ctl_empty", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                         "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                         "PSI_FUSED_CTL": "empty"}),
+    ("fused_ctl_noparent", {"PSI_TRIE_FUSED": "1",
+                            "PSI_TRIE_WIRE": "plain",
+                            "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                            "PSI_FUSED_CTL": "noparent"}),
+    ("fused_ctl_norank", {"PSI_TRIE_FUSED": "1", "PSI_TRIE_WIRE": "plain",
+                          "PSI_TRIE_PACK": "0", "PSI_KEYMIX": "real",
+                          "PSI_FUSED_CTL": "norank"}),
 ]
 
 _only = os.environ.get("PSI_AB_ONLY")
