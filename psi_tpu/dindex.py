@@ -647,36 +647,70 @@ class DistanceIndex:
             return a.astype(np.int32)
         return a
 
+    #: columns spilled to raw .npy side files above this size (bytes):
+    #: savez_compressed cannot stream multi-GB columns and the loaded
+    #: index must memmap at pan-genome scale (3 Gbp feasibility,
+    #: docs/BENCH_NOTES.md)
+    BIG_COL_BYTES = int(os.environ.get("PSI_DINDEX_MMAP_BYTES", 1 << 30))
+
     def save(self, path: str) -> None:
+        """Artifact: one .npz of narrowed columns; columns larger than
+        BIG_COL_BYTES go to raw `<path>.<col>.npy` side files (int32
+        where values fit) that `load` memory-maps instead of reading."""
+        cols = {
+            "sup": self._narrow(self.sup),
+            "head": self._narrow(self.head),
+            "tail": self._narrow(self.tail),
+            "src_indptr": self.src_indptr,
+            "dst": self._narrow(self.dst),
+            "iv_lo": self._narrow(self.iv_lo),
+            "iv_hi": self._narrow(self.iv_hi),
+        }
+        base = path[:-4] if path.endswith(".npz") else path
+        inline = {}
+        big = []
+        for name, a in cols.items():
+            if a.nbytes > self.BIG_COL_BYTES:
+                np.save(f"{base}.{name}.npy", a)
+                big.append(name)
+            else:
+                inline[name] = a
         np.savez_compressed(
             path,
             dmin=np.int64(self.dmin),
             dmax=np.int64(self.dmax),
             n_nodes=np.int64(self.n_nodes),
             mode=np.str_(self.mode),
-            sup=self._narrow(self.sup),
-            head=self._narrow(self.head),
-            tail=self._narrow(self.tail),
-            src_indptr=self.src_indptr,
-            dst=self._narrow(self.dst),
-            iv_lo=self._narrow(self.iv_lo),
-            iv_hi=self._narrow(self.iv_hi),
+            big_cols=np.asarray(big, dtype=np.str_),
+            **inline,
         )
 
     @staticmethod
-    def load(path: str) -> "DistanceIndex":
+    def load(path: str, mmap: bool = True) -> "DistanceIndex":
         z = np.load(path)
         idx = DistanceIndex(int(z["dmin"]), int(z["dmax"]))
         idx.n_nodes = int(z["n_nodes"])
         idx.mode = str(z["mode"]) if "mode" in z else "node"
-        if "sup" in z:
-            idx.sup = z["sup"]
-            idx.head = z["head"]
-            idx.tail = z["tail"]
-        idx.src_indptr = z["src_indptr"]
-        idx.dst = z["dst"]
-        idx.iv_lo = z["iv_lo"]
-        idx.iv_hi = z["iv_hi"]
+        big = set(
+            str(s) for s in z["big_cols"]
+        ) if "big_cols" in z else set()
+        base = path[:-4] if path.endswith(".npz") else path
+
+        def col(name):
+            if name in big:
+                return np.load(
+                    f"{base}.{name}.npy", mmap_mode="r" if mmap else None
+                )
+            return z[name]
+
+        if "sup" in z or "sup" in big:
+            idx.sup = col("sup")
+            idx.head = col("head")
+            idx.tail = col("tail")
+        idx.src_indptr = col("src_indptr")
+        idx.dst = col("dst")
+        idx.iv_lo = col("iv_lo")
+        idx.iv_hi = col("iv_hi")
         return idx
 
     # --- stats (dindexctl parity) ------------------------------------------
@@ -705,6 +739,16 @@ class DistanceIndex:
             )
         lo = min(self.dmin, other.dmin)
         hi = max(self.dmax, other.dmax)
+        a_lo, a_hi = sorted(
+            [(self.dmin, self.dmax), (other.dmin, other.dmax)]
+        )
+        if a_lo[1] + 1 < a_hi[0]:
+            raise ValueError(
+                f"cannot merge non-contiguous distance ranges "
+                f"[{a_lo[0]}, {a_lo[1]}] and [{a_hi[0]}, {a_hi[1]}]: "
+                f"the gap ({a_lo[1] + 1}..{a_hi[0] - 1}) would be "
+                f"silently rejected by the merged index"
+            )
         merged = DistanceIndex(lo, hi)
         merged.mode = self.mode
         merged.n_nodes = max(self.n_nodes, other.n_nodes)

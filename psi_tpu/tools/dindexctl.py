@@ -29,6 +29,12 @@ def main(argv=None) -> int:
     m.add_argument("first")
     m.add_argument("second")
     m.add_argument("-o", "--output", required=True)
+    m.add_argument("--verify", type=int, default=0, metavar="N",
+                   help="verify the merged index with N sampled "
+                        "re-queries against BFS ground truth "
+                        "(ref dindexctl's sampled verification)")
+    m.add_argument("--graph", default=None,
+                   help="graph for --verify (required with it)")
 
     s = sub.add_parser("stats")
     s.add_argument("index")
@@ -59,6 +65,17 @@ def main(argv=None) -> int:
         merged = a.merge(b_)
         merged.save(args.output)
         print(f"merged: {merged.stats()}", file=sys.stderr)
+        if args.verify:
+            if not args.graph:
+                print("--verify needs --graph", file=sys.stderr)
+                return 2
+            from psi_tpu.io import load_graph
+
+            graph = load_graph(args.graph)
+            ok = _verify_sampled(graph, merged, args.verify)
+            print(f"verification: {'PASS' if ok else 'FAIL'}",
+                  file=sys.stderr)
+            return 0 if ok else 2
         return 0
 
     if args.cmd == "stats":

@@ -145,3 +145,94 @@ def test_contract_chains_shapes():
     assert list(head[1:]) == [0, 2, 3]
     assert list(tail[1:]) == [4, 3, 0]
     assert len(ix) == 0
+
+
+def test_save_load_big_columns(tmp_path, monkeypatch):
+    """Columns above the size threshold spill to raw .npy side files
+    and load back memory-mapped, probe-identical (the 3 Gbp artifact
+    form: savez_compressed cannot stream multi-GB columns)."""
+    g = _random_dag(np.random.RandomState(21), 80)
+    idx = DistanceIndex.build(g, dmin=2, dmax=40)
+    assert len(idx.dst) > 0
+    monkeypatch.setattr(DistanceIndex, "BIG_COL_BYTES", 8)  # force spill
+    p = str(tmp_path / "big.npz")
+    idx.save(p)
+    # side files exist for the interval columns
+    import os as _os
+    assert _os.path.exists(str(tmp_path / "big.dst.npy"))
+    idx2 = DistanceIndex.load(p)
+    assert isinstance(idx2.dst, np.memmap)
+    np.testing.assert_array_equal(
+        np.asarray(idx.src_indptr), np.asarray(idx2.src_indptr))
+    np.testing.assert_array_equal(np.asarray(idx.dst), np.asarray(idx2.dst))
+    np.testing.assert_array_equal(
+        np.asarray(idx.iv_lo), np.asarray(idx2.iv_lo))
+    np.testing.assert_array_equal(
+        np.asarray(idx.iv_hi), np.asarray(idx2.iv_hi))
+    # probes agree through the memmapped index
+    rng = np.random.RandomState(3)
+    n = g.node_count
+    q_src = rng.randint(1, n + 1, size=64)
+    q_dst = rng.randint(1, n + 1, size=64)
+    for v, u in zip(q_src, q_dst):
+        assert idx.verify(g, int(v), 0, int(u), 0) == \
+            idx2.verify(g, int(v), 0, int(u), 0)
+
+
+def test_device_build_matches_native_graph():
+    """PSI_DINDEX_BUILD=device (interval-semiring path doubling on the
+    mesh/device backend) produces byte-identical CSR to the native
+    reverse-topo DP on a real bubble graph."""
+    import os as _os
+
+    g = _random_dag(np.random.RandomState(23), 120)
+    a = DistanceIndex.build(g, dmin=2, dmax=60)
+    _os.environ["PSI_DINDEX_BUILD"] = "device"
+    try:
+        b = DistanceIndex.build(g, dmin=2, dmax=60)
+    finally:
+        del _os.environ["PSI_DINDEX_BUILD"]
+    np.testing.assert_array_equal(np.asarray(a.src_indptr),
+                                  np.asarray(b.src_indptr))
+    np.testing.assert_array_equal(np.asarray(a.dst), np.asarray(b.dst))
+    np.testing.assert_array_equal(np.asarray(a.iv_lo), np.asarray(b.iv_lo))
+    np.testing.assert_array_equal(np.asarray(a.iv_hi), np.asarray(b.iv_hi))
+
+
+@pytest.mark.parametrize("r1,r2", [
+    ((8, 12), (13, 20)),   # adjacent ranges
+    ((8, 15), (12, 25)),   # overlapping ranges
+    ((5, 30), (10, 20)),   # containment
+])
+def test_cross_range_merge_equals_direct_build(r1, r2):
+    """Merging indices built with DIFFERENT (dmin, dmax) ranges equals
+    a direct build at the union range — the semantic the reference's
+    dindexctl merge guarantees (ref: tools/src/dindexctl.cpp:115-216).
+    Pinned on random DAGs for adjacent, overlapping and contained
+    ranges."""
+    for seed in range(3):
+        g = _random_dag(np.random.RandomState(100 + seed), 100)
+        a = DistanceIndex.build(g, *r1)
+        b = DistanceIndex.build(g, *r2)
+        m = a.merge(b)
+        lo, hi = min(r1[0], r2[0]), max(r1[1], r2[1])
+        direct = DistanceIndex.build(g, lo, hi)
+        assert (m.dmin, m.dmax) == (lo, hi)
+        np.testing.assert_array_equal(
+            np.asarray(m.src_indptr), np.asarray(direct.src_indptr))
+        np.testing.assert_array_equal(
+            np.asarray(m.dst), np.asarray(direct.dst))
+        np.testing.assert_array_equal(
+            np.asarray(m.iv_lo), np.asarray(direct.iv_lo))
+        np.testing.assert_array_equal(
+            np.asarray(m.iv_hi), np.asarray(direct.iv_hi))
+
+
+def test_cross_range_merge_rejects_gap():
+    """Non-contiguous range unions are refused (a gap in the covered
+    distance range would silently reject valid pairs)."""
+    g = _random_dag(np.random.RandomState(7), 60)
+    a = DistanceIndex.build(g, 5, 8)
+    b = DistanceIndex.build(g, 20, 30)
+    with pytest.raises(ValueError):
+        a.merge(b)
