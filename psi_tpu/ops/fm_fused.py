@@ -60,6 +60,10 @@ FTILE = FSLABS * SLAB_Q
 #: ~16 MB/core; leave headroom for the grid blocks and double buffers.
 FUSED_BUDGET = int(os.environ.get("PSI_FUSED_BUDGET", str(13 << 20)))
 
+#: parent-gather windows unrolled statically per slab (clamped,
+#: hit-masked); the dynamic remainder loop covers wider slabs
+PUNROLL = int(os.environ.get("PSI_FUSED_PUNROLL", "6"))
+
 
 def fused_bytes(nw: int, npad: int) -> int:
     """VMEM bytes the resident kernel needs: windowed payload +
@@ -123,28 +127,28 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
             fbuf[wb, 1, fs] = zero + keep
             continue
 
-        def ppass(jj, carry):
-            # gather lo[parent], hi[parent] from the resident frontier:
-            # window w covers slots [w*1024, (w+1)*1024) as (8, 128)
-            plo, phi = carry
-            w = pbase + jj
-            valid = (pidx // SLAB_Q) == w
-            lp = jnp.clip(pidx - w * SLAB_Q, 0, SLAB_Q - 1)
-            prow = lp // WB
-            lane = lp % WB
+        # gather lo[parent], hi[parent] from the resident frontier.
+        # The needed ROW id (gprow) and LANE (glane) are window-
+        # independent — computed once per slab; each (window, row) pass
+        # is then 1 compare + 2 per-sublane gathers + 2 selects.
+        gprow = pidx // WB          # absolute frontier row of parent
+        glane = pidx % WB
+
+        def ppass_body(w, plo, phi):
             for r in range(QROWS):
-                hit = valid & (prow == r)
+                row_id = w * QROWS + r
+                hit = gprow == row_id
                 glo = jnp.take_along_axis(
                     jnp.broadcast_to(
                         fbuf[rb, 0, w, pl.ds(r, 1), :], (QROWS, WB)
                     ),
-                    lane, axis=1,
+                    glane, axis=1,
                 )
                 ghi = jnp.take_along_axis(
                     jnp.broadcast_to(
                         fbuf[rb, 1, w, pl.ds(r, 1), :], (QROWS, WB)
                     ),
-                    lane, axis=1,
+                    glane, axis=1,
                 )
                 plo = jnp.where(hit, glo, plo)
                 phi = jnp.where(hit, ghi, phi)
@@ -154,8 +158,26 @@ def _fused_kernel(pwlo_ref, pnw_ref, slabc_ref,
             plo = pidx  # slot ids as fake positions (< Npad <= n)
             phi = pidx
         else:
+            # static unroll of the common window count (span/1024 is
+            # ~5 at production child densities — the dynamic fori's
+            # per-iteration overhead was the single largest term in the
+            # round-5 attribution). The unrolled passes run
+            # unconditionally with the window CLAMPED in-bounds: an
+            # out-of-range pass gathers garbage that the hit mask
+            # (gprow == row_id) never selects. The rare wider slab
+            # finishes in a dynamic remainder loop (usually 0 trips).
+            plo, phi = zero, zero
+            nw_p = pnw_ref[lin]
+            nslabs_f = fbuf.shape[2]
+            for jj in range(PUNROLL):
+                wc = jnp.minimum(pbase + jj, nslabs_f - 1)
+                plo, phi = ppass_body(wc, plo, phi)
+
+            def ppass(jj, carry):
+                return ppass_body(pbase + jj, *carry)
+
             plo, phi = jax.lax.fori_loop(
-                0, pnw_ref[lin], ppass, (zero, zero)
+                PUNROLL, nw_p, ppass, (plo, phi)
             )
         if ctl == "norank":
             outlo_ref[0, s] = plo

@@ -711,7 +711,16 @@ def prepare(
         # prepare leg to 1.4 s/chunk and sustained DOWN to 0.74 M
         # keys/s), so axon defaults to the 1 B/child delta wire and
         # everything else (CPU, direct-attached TPU) to packed.
-        wire = "delta" if jax.default_backend() == "axon" else "packed"
+        # NOTE jax.default_backend() reports the PLATFORM name, which
+        # the axon PJRT plugin registers as plain "tpu" — the env var
+        # is the reliable tunneled-link signal (round-5 finding: the
+        # round-4 delta default never activated, and the bench paid
+        # 13-46 MB/chunk of packed/plain schedule upload on a
+        # ~35 MB/s link)
+        tunneled = "axon" in os.environ.get("JAX_PLATFORMS", "") or (
+            jax.default_backend() == "axon"
+        )
+        wire = "delta" if tunneled else "packed"
     p = 0
     if ftab is not None:
         p = (int(ftab.shape[0]).bit_length() - 1) // 2
