@@ -99,8 +99,8 @@ def _doubling_device(
         src0, dst0, jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32)
     )
 
-    def round_body(_, state):
-        src, dst, lo, hi, nnz, over = state
+    def round_body(state):
+        src, dst, lo, hi, nnz, over_e0, over_p0, rnd, _ = state
         valid = src < BIG
         # per-src row table over the CURRENT sorted entries
         row_start = jnp.searchsorted(src, jnp.arange(S, dtype=jnp.int32),
@@ -114,7 +114,7 @@ def _doubling_device(
         total = csum[-1]
         # int32 cumsum can wrap before the P check on adversarial row
         # fan-outs; a float32 sum is exact enough for a threshold test
-        over = over | (total > P) | (
+        over_p = (total > P) | (
             jnp.sum(cnt.astype(jnp.float32)) > jnp.float32(P)
         )
         slot = _expand_slots(csum, cnt, P)          # left entry per pair
@@ -141,8 +141,17 @@ def _doubling_device(
         src2, dst2, lo2, hi2, nnz2 = _merge_wide(
             cand_src, cand_dst, cand_lo, cand_hi
         )
-        over = over | (nnz2 > E)
-        return src2, dst2, lo2, hi2, nnz2, over
+        over_e = over_e0 | (nnz2 > E)
+        # fixpoint detection: rows are canonical (sorted, merged), so
+        # convergence == byte equality; real DAG depths converge in
+        # log2(max hops in the horizon) rounds, far under the bound
+        changed = (
+            (nnz2 != nnz)
+            | jnp.any(src2 != src) | jnp.any(dst2 != dst)
+            | jnp.any(lo2 != lo) | jnp.any(hi2 != hi)
+        )
+        return (src2, dst2, lo2, hi2, nnz2, over_e,
+                over_p0 | over_p, rnd + 1, changed)
 
     def _merge_wide(src_c, dst_c, lo_c, hi_c):
         src_s, dst_s, lo_s, hi_s = jax.lax.sort(
@@ -168,11 +177,16 @@ def _doubling_device(
         out_lo = jnp.where(out_src < BIG, out_lo, 0)
         return out_src, out_dst, out_lo, out_hi, nnz
 
-    src, dst, lo, hi, nnz, over = jax.lax.fori_loop(
-        0, rounds, round_body,
-        (src, dst, lo, hi, nnz, jnp.bool_(False)),
+    def cond(state):
+        *_, over_e, over_p, rnd, changed = state
+        return (~over_e) & (~over_p) & changed & (rnd < rounds)
+
+    src, dst, lo, hi, nnz, over_e, over_p, _, _ = jax.lax.while_loop(
+        cond, round_body,
+        (src, dst, lo, hi, nnz, jnp.bool_(False), jnp.bool_(False),
+         jnp.int32(0), jnp.bool_(True)),
     )
-    return src, dst, lo, hi, nnz, over
+    return src, dst, lo, hi, nnz, over_e, over_p
 
 
 def build_super_device(
@@ -180,6 +194,8 @@ def build_super_device(
     s_indptr: np.ndarray,
     s_indices: np.ndarray,
     dmax: int,
+    e_hint: int = 0,
+    p_hint: int = 0,
 ):
     """Device path-doubling build over the supernode DAG. Returns
     (src_indptr, dst, iv_lo, iv_hi) int64 CSR identical to
@@ -201,23 +217,27 @@ def build_super_device(
     )
     dst_e = s_indices.astype(np.int32)
     rounds = max(int(cap + 1).bit_length(), 1) + 1
-    E = max(64, 1 << (max(nedge * 4 - 1, 1)).bit_length())
-    P = 2 * E
+    E = max(64, 1 << (max(nedge * 4 - 1, 1)).bit_length(), e_hint)
+    P = max(2 * E, p_hint)
     sup32 = jnp.asarray(np.asarray(sup_len, dtype=np.int32))
     while True:
         base_src = np.full(E, S, dtype=np.int32)
         base_dst = np.zeros(E, dtype=np.int32)
         base_src[:nedge] = src_e
         base_dst[:nedge] = dst_e
-        src, dst, lo, hi, nnz, over = _doubling_device(
+        src, dst, lo, hi, nnz, over_e, over_p = _doubling_device(
             jnp.asarray(base_src), jnp.asarray(base_dst), sup32,
             jnp.int32(cap), S, E, P, rounds,
         )
-        if bool(np.asarray(over)):
-            if E >= 1 << 30:
+        oe, op = bool(np.asarray(over_e)), bool(np.asarray(over_p))
+        if oe or op:
+            if E >= 1 << 30 or P >= 1 << 31:
                 return None
-            E *= 2
-            P = 2 * E
+            if oe:
+                E *= 2
+                P = max(P, 2 * E)
+            else:
+                P *= 2
             continue
         n = int(np.asarray(nnz))
         src_h = np.asarray(src[:n]).astype(np.int64)
