@@ -244,10 +244,13 @@ class DistanceIndex:
 
         if os.environ.get("PSI_DINDEX_BUILD", "") == "device":
             # TPU path-doubling build (ops/dindex_build.py): identical
-            # rows to the native reverse-topo DP, no sequential sweep
+            # rows to the native reverse-topo DP, no sequential sweep.
+            # Always per-component (the reference's PerComponent mode):
+            # device memory AND the (possibly remote) compiler's working
+            # set are bounded by the largest component
             from psi_tpu.ops import dindex_build
 
-            res = dindex_build.build_super_device(
+            res = dindex_build.build_super_device_per_component(
                 sup_len, s_indptr, s_indices, dmax
             )
             if res is not None:

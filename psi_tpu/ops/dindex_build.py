@@ -248,3 +248,94 @@ def build_super_device(
         np.add.at(indptr, src_h + 1, 1)
         np.cumsum(indptr, out=indptr)
         return indptr, dst_h, lo_h, hi_h
+
+
+def _components(S: int, s_indptr: np.ndarray, s_indices: np.ndarray):
+    """Weakly-connected component labels [S] by iterated neighborhood
+    min (pointer doubling; ~log(S) vectorized rounds)."""
+    labels = np.arange(S, dtype=np.int64)
+    src = np.repeat(np.arange(S, dtype=np.int64),
+                    np.diff(s_indptr).astype(np.int64))
+    dst = s_indices.astype(np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, dst, labels[src])
+        np.minimum.at(new, src, labels[dst])
+        new = new[new]  # pointer double
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def build_super_device_per_component(
+    sup_len: np.ndarray,
+    s_indptr: np.ndarray,
+    s_indices: np.ndarray,
+    dmax: int,
+    e_hint: int = 0,
+):
+    """Per-component device builds (the reference's PerComponent mode,
+    ref: include/psi/seed_finder.hpp:1178-1235): each weakly-connected
+    component of the supernode DAG builds independently with its ids
+    remapped into a power-of-two size bucket — components in the same
+    (S, E, P) bucket share one compiled program — and the rows stitch
+    back into the global CSR. Bounds both device memory and the
+    (remote) compiler's working set by the largest component, not the
+    genome."""
+    S = int(len(sup_len))
+    if S == 0 or len(s_indices) == 0:
+        return (np.zeros(S + 1, dtype=np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    labels = _components(S, s_indptr, s_indices)
+    outdeg = np.diff(s_indptr).astype(np.int64)
+    src_all = np.repeat(np.arange(S, dtype=np.int64), outdeg)
+    parts = {}
+    order = np.argsort(labels, kind="stable")
+    bounds = np.nonzero(np.concatenate(
+        [[True], labels[order][1:] != labels[order][:-1]]
+    ))[0]
+    groups = np.split(order, bounds[1:])
+    rows_by_src: dict = {}
+    for g in groups:
+        g = np.sort(g)
+        if len(g) == 1 and outdeg[g[0]] == 0:
+            continue
+        gid = np.full(S, -1, dtype=np.int64)
+        gid[g] = np.arange(len(g))
+        S_b = max(64, 1 << (len(g) - 1).bit_length())
+        em = gid[src_all] >= 0
+        ge_src = gid[src_all[em]]
+        ge_dst = gid[s_indices[em]]
+        g_indptr = np.zeros(S_b + 1, dtype=np.int64)
+        np.add.at(g_indptr, ge_src + 1, 1)
+        np.cumsum(g_indptr, out=g_indptr)
+        o2 = np.argsort(ge_src, kind="stable")
+        g_sup = np.ones(S_b, dtype=np.int64)
+        g_sup[: len(g)] = np.asarray(sup_len)[g]
+        res = build_super_device(
+            g_sup, g_indptr, ge_dst[o2], dmax, e_hint=e_hint
+        )
+        if res is None:
+            return None
+        gp, gd, gl, gh = res
+        for i in range(len(g)):
+            a, b = gp[i], gp[i + 1]
+            if b > a:
+                rows_by_src[int(g[i])] = (
+                    g[gd[a:b]], gl[a:b], gh[a:b]
+                )
+    counts = np.zeros(S, dtype=np.int64)
+    for s, (d, _, _) in rows_by_src.items():
+        counts[s] = len(d)
+    indptr = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    dst = np.empty(nnz, dtype=np.int64)
+    lo = np.empty(nnz, dtype=np.int64)
+    hi = np.empty(nnz, dtype=np.int64)
+    for s, (d, l, h) in rows_by_src.items():
+        a = indptr[s]
+        dst[a: a + len(d)] = d
+        lo[a: a + len(d)] = l
+        hi[a: a + len(d)] = h
+    return indptr, dst, lo, hi

@@ -52,7 +52,7 @@ def main():
     t0 = time.time()
     graph = make_pangenome_graph(
         int(mbp * 1e6), variant_rate=1.0 / 350, indel_frac=0.2, seed=7,
-        n_components=4,
+        n_components=16,
     )
     res["graph_gen_s"] = round(time.time() - t0, 1)
     res["nodes"] = int(graph.node_count)
@@ -76,15 +76,14 @@ def main():
     print(f"host native build: {res['host_build_s']}s, "
           f"{res['intervals']} intervals", flush=True)
 
-    e_hint = 1 << max(int(res["intervals"] * 1.3 - 1).bit_length(), 10)
-    p_hint = 2 * e_hint
-    res["E"] = e_hint
-    res["P"] = p_hint
-
+    ncomp = 16
+    e_hint = 1 << max(
+        int(res["intervals"] / ncomp * 2.5 - 1).bit_length(), 10
+    )
+    res["e_hint"] = e_hint
     t0 = time.time()
-    dev = dindex_build.build_super_device(
-        sup_len, s_indptr, s_indices, dmax,
-        e_hint=e_hint, p_hint=p_hint,
+    dev = dindex_build.build_super_device_per_component(
+        sup_len, s_indptr, s_indices, dmax, e_hint=e_hint,
     )
     res["device_build_cold_s"] = round(time.time() - t0, 1)
     ok = dev is not None and all(
@@ -95,9 +94,8 @@ def main():
           f"{res['device_build_cold_s']}s parity={ok}", flush=True)
 
     t0 = time.time()
-    dev2 = dindex_build.build_super_device(
-        sup_len, s_indptr, s_indices, dmax,
-        e_hint=e_hint, p_hint=p_hint,
+    dev2 = dindex_build.build_super_device_per_component(
+        sup_len, s_indptr, s_indices, dmax, e_hint=e_hint,
     )
     res["device_build_warm_s"] = round(time.time() - t0, 1)
     res["parity_warm"] = bool(dev2 is not None and all(
