@@ -449,3 +449,52 @@ def test_seeds_all_arrays_eager_fused_traverse(monkeypatch):
     assert len(on_a) > 0 and len(off_a) > 0
     assert on_a == on_b
     assert off_a == off_b
+
+
+def test_trie_fused_remainder_loop(monkeypatch):
+    """PSI_FUSED_PUNROLL=1 forces most parent windows through the
+    dynamic remainder loop (the statically-unrolled fast path covers
+    only the first window) — exactness must not depend on the unroll
+    width. PUNROLL is read at import, so reload the module."""
+    import importlib
+
+    from psi_tpu.ops import fm_trie, fm_fused
+
+    monkeypatch.setenv("PSI_FUSED_PUNROLL", "1")
+    importlib.reload(fm_fused)
+    try:
+        rng = np.random.RandomState(23)
+        s = "".join(rng.choice(list("ACGT"), size=90_000))
+        fm = FMIndex.build_from_strings([s[::-1]])
+        arr = fm_stream.build_stream_arrays(fm)
+        dense = fm_ops.to_device(fm, dense_occ=True)
+        k = 12
+        keys = np.unique(
+            rng.randint(0, 4 ** k, size=4000).astype(np.uint64))
+        codes = fm_ops.keys_to_codes(keys, k)
+        l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+        l1, h1 = np.asarray(l1), np.asarray(h1)
+        sched = fm_trie.build_schedule(keys, k)
+        Npad = 8192
+        parents = np.stack([
+            fm_trie._pad_level(p, Npad, max(int(p[-1]), 0))
+            for p in sched.parents
+        ]).astype(np.int32)
+        chars = np.stack([
+            fm_trie._pad_level(c, Npad, int(c[-1]))
+            for c in sched.chars
+        ]).astype(np.int32)
+        lo_f, hi_f = fm_fused.trie_fused(
+            arr, jnp.asarray(parents), jnp.asarray(chars),
+            jnp.asarray(np.zeros(Npad, np.int32)),
+            jnp.asarray(np.full(Npad, fm.size, np.int32)),
+            interpret=True,
+        )
+        lo_f = np.asarray(lo_f)[sched.leaf_perm]
+        hi_f = np.asarray(hi_f)[sched.leaf_perm]
+        np.testing.assert_array_equal(h1 - l1, hi_f - lo_f)
+        nz = h1 > l1
+        np.testing.assert_array_equal(l1[nz], lo_f[nz])
+    finally:
+        monkeypatch.delenv("PSI_FUSED_PUNROLL")
+        importlib.reload(fm_fused)
