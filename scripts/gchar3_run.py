@@ -76,13 +76,18 @@ def main():
     res["nodes"] = int(graph.node_count)
 
     finder = SeedFinder(graph, seed_len=k)
-    # n=1 unpatched: the indexed text is exactly the ~gchar reference
-    # set; every bubble's alt allele is an uncovered starting locus, so
-    # the off-path leg is load-bearing at scale
+    # default n=1 unpatched: the indexed text is exactly the ~gchar
+    # reference set; every bubble's alt allele is an uncovered starting
+    # locus (the off-path stress config). PSI_G3_PATCHED=1 switches to
+    # the production config (n=1 patched: alt alleles covered by patch
+    # paths, few loci) — required for query-inclusive runs near the
+    # 2^31-char single-index bound.
+    patched = os.environ.get("PSI_G3_PATCHED", "") not in ("", "0")
     stage("path_index", lambda: finder.create_path_index(
-        n=1, patched=False, context=k, step_size=10,
+        n=1, patched=patched, context=k, step_size=10,
         dmin=dmin, dmax=dmax,
     ))
+    res["patched"] = patched
     res["fm_chars"] = int(finder.pindex.fm.size)
     stage("uncovered_loci", finder.add_uncovered_loci)
     res["loci"] = int(len(finder.get_starting_loci()))
@@ -131,12 +136,25 @@ def main():
     seeds = stage("seeding", lambda: finder.get_seeds(reads))
     index = stage("read_index", lambda: finder.index_reads(seeds))
     res["distinct_keys"] = int(len(np.unique(index.sorted_keys)))
-    arr = stage("on_path", lambda: finder.seeds_on_paths_arrays(
-        seeds, index))
-    res["on_hits"] = 0 if arr is None else int(len(arr))
-    off = stage("off_path", lambda: finder.seeds_off_paths_arrays(
-        seeds, index))
-    res["off_hits"] = 0 if off is None else int(len(off))
+    if finder.pindex.fm.size < 2**31:
+        arr = stage("on_path", lambda: finder.seeds_on_paths_arrays(
+            seeds, index))
+        res["on_hits"] = 0 if arr is None else int(len(arr))
+        off = stage("off_path", lambda: finder.seeds_off_paths_arrays(
+            seeds, index))
+        res["off_hits"] = 0 if off is None else int(len(off))
+    else:
+        # measured bound (round 5): device query arrays are int32 (JAX
+        # x64 is disabled), so a SINGLE index queries up to 2^31 chars
+        # (~2.1 Gchar). Above that, the production route is the
+        # component-sharded mesh index (parallel/distributed.py:
+        # per-component FMs each < 2^31, psum'd gocc — parity in
+        # tests/test_multihost.py); per-FM query numbers at this scale
+        # are the 2 Gchar rows in docs/BENCH_NOTES.md.
+        res["query_note"] = (
+            "fm_chars >= 2^31: single-index int32 device query bound; "
+            "use the component-sharded mesh route"
+        )
 
     res["total_s"] = round(sum(
         v for kk, v in res.items() if kk.endswith("_s")), 1)
