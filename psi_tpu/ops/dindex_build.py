@@ -36,6 +36,7 @@ native reverse-topo DP is pinned in tests/test_dindex.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -216,7 +217,11 @@ def build_super_device(
         np.arange(S, dtype=np.int32), np.diff(s_indptr).astype(np.int64)
     )
     dst_e = s_indices.astype(np.int32)
-    rounds = max(int(cap + 1).bit_length(), 1) + 1
+    # rounds is a static arg: bucket it (the while_loop exits at the
+    # fixpoint anyway, so a larger bound costs nothing) so different
+    # dmax values reuse one compiled program — relay compiles of this
+    # program run minutes (docs/SCALING.md round 5)
+    rounds = max(int(cap + 1).bit_length() + 1, 15)
     E = max(64, 1 << (max(nedge * 4 - 1, 1)).bit_length(), e_hint)
     P = max(2 * E, p_hint)
     sup32 = jnp.asarray(np.asarray(sup_len, dtype=np.int32))
@@ -302,7 +307,10 @@ def build_super_device_per_component(
             continue
         gid = np.full(S, -1, dtype=np.int64)
         gid[g] = np.arange(len(g))
-        S_b = max(64, 1 << (len(g) - 1).bit_length())
+        # S is a static arg too: pad to a floor bucket so same-order
+        # components share one compiled program
+        s_floor = int(os.environ.get("PSI_DINDEX_SFLOOR", str(1 << 18)))
+        S_b = max(64, 1 << (len(g) - 1).bit_length(), s_floor)
         em = gid[src_all] >= 0
         ge_src = gid[src_all[em]]
         ge_dst = gid[s_indices[em]]

@@ -47,12 +47,14 @@ def main():
     from psi_tpu.ops import dindex_build
     from psi_tpu import native
 
-    res = {"mbp": mbp, "dmin": 1000, "dmax": 10000,
+    dmax = int(os.environ.get("PSI_DMAX", "10000"))
+    ncomp = int(os.environ.get("PSI_NCOMP", "16"))
+    res = {"mbp": mbp, "dmax": dmax, "ncomp": ncomp,
            "platform": jax.default_backend()}
     t0 = time.time()
     graph = make_pangenome_graph(
         int(mbp * 1e6), variant_rate=1.0 / 350, indel_frac=0.2, seed=7,
-        n_components=16,
+        n_components=ncomp,
     )
     res["graph_gen_s"] = round(time.time() - t0, 1)
     res["nodes"] = int(graph.node_count)
@@ -68,7 +70,6 @@ def main():
     print(f"graph {res['nodes']} nodes -> {res['supernodes']} supernodes, "
           f"{res['sup_edges']} edges", flush=True)
 
-    dmax = 10000
     t0 = time.time()
     nat = native.dindex_super_build(sup_len, s_indptr, s_indices, dmax)
     res["host_build_s"] = round(time.time() - t0, 1)
@@ -76,7 +77,6 @@ def main():
     print(f"host native build: {res['host_build_s']}s, "
           f"{res['intervals']} intervals", flush=True)
 
-    ncomp = 16
     e_hint = 1 << max(
         int(res["intervals"] / ncomp * 2.5 - 1).bit_length(), 10
     )
