@@ -67,6 +67,29 @@ def _doubling_device(
     cap,                 # int32 scalar (dmax - 1)
     S: int, E: int, P: int, rounds: int,
 ):
+    return _doubling_core(src0, dst0, sup_len, cap, S, E, P, rounds)
+
+
+@functools.partial(jax.jit, static_argnames=("E", "P", "rounds", "S"))
+def _doubling_device_batched(
+    src0, dst0,          # int32 [C, E] per-component base edges
+    sup_len,             # int32 [C, S]
+    cap,                 # int32 scalar
+    S: int, E: int, P: int, rounds: int,
+):
+    """All components of one size bucket in ONE dispatch: vmap lifts
+    the per-component while_loop to a single batched loop (lanes that
+    reach their fixpoint keep their state while stragglers iterate), so
+    a build pays one tunnel round trip instead of one per component."""
+    return jax.vmap(
+        lambda a, b, c: _doubling_core(a, b, c, cap, S, E, P, rounds)
+    )(src0, dst0, sup_len)
+
+
+def _doubling_core(
+    src0, dst0, sup_len, cap,
+    S: int, E: int, P: int, rounds: int,
+):
     BIG = jnp.int32(S)
 
     def merge(src, dst, lo, hi):
@@ -294,56 +317,93 @@ def build_super_device_per_component(
     labels = _components(S, s_indptr, s_indices)
     outdeg = np.diff(s_indptr).astype(np.int64)
     src_all = np.repeat(np.arange(S, dtype=np.int64), outdeg)
-    parts = {}
     order = np.argsort(labels, kind="stable")
     bounds = np.nonzero(np.concatenate(
         [[True], labels[order][1:] != labels[order][:-1]]
     ))[0]
     groups = np.split(order, bounds[1:])
-    rows_by_src: dict = {}
+    s_floor = int(os.environ.get("PSI_DINDEX_SFLOOR", str(1 << 18)))
+    buckets: dict = {}
     for g in groups:
         g = np.sort(g)
         if len(g) == 1 and outdeg[g[0]] == 0:
             continue
         gid = np.full(S, -1, dtype=np.int64)
         gid[g] = np.arange(len(g))
-        # S is a static arg too: pad to a floor bucket so same-order
+        # S is a static arg: pad to a floor bucket so same-order
         # components share one compiled program
-        s_floor = int(os.environ.get("PSI_DINDEX_SFLOOR", str(1 << 18)))
         S_b = max(64, 1 << (len(g) - 1).bit_length(), s_floor)
         em = gid[src_all] >= 0
         ge_src = gid[src_all[em]]
         ge_dst = gid[s_indices[em]]
-        g_indptr = np.zeros(S_b + 1, dtype=np.int64)
-        np.add.at(g_indptr, ge_src + 1, 1)
-        np.cumsum(g_indptr, out=g_indptr)
         o2 = np.argsort(ge_src, kind="stable")
         g_sup = np.ones(S_b, dtype=np.int64)
         g_sup[: len(g)] = np.asarray(sup_len)[g]
-        res = build_super_device(
-            g_sup, g_indptr, ge_dst[o2], dmax, e_hint=e_hint
+        buckets.setdefault(S_b, []).append(
+            (g, ge_src[o2], ge_dst[o2], g_sup)
         )
-        if res is None:
-            return None
-        gp, gd, gl, gh = res
-        for i in range(len(g)):
-            a, b = gp[i], gp[i + 1]
-            if b > a:
-                rows_by_src[int(g[i])] = (
-                    g[gd[a:b]], gl[a:b], gh[a:b]
+    # one BATCHED dispatch per size bucket: all its components run in a
+    # single vmapped program (one tunnel round trip, lanes exit their
+    # while_loop fixpoints independently)
+    all_src, all_dst, all_lo, all_hi = [], [], [], []
+    cap = dmax - 1
+    rounds = max(int(cap + 1).bit_length() + 1, 15)
+    for S_b, comps in buckets.items():
+        nedge_max = max(len(c[1]) for c in comps)
+        E = max(64, 1 << (max(nedge_max * 4 - 1, 1)).bit_length(), e_hint)
+        P = 2 * E
+        while True:
+            C = len(comps)
+            bs = np.full((C, E), S_b, dtype=np.int32)
+            bd = np.zeros((C, E), dtype=np.int32)
+            sup_b = np.ones((C, S_b), dtype=np.int32)
+            for ci, (g, es, ed, gs) in enumerate(comps):
+                bs[ci, : len(es)] = es
+                bd[ci, : len(ed)] = ed
+                sup_b[ci] = gs
+            (src_b, dst_b, lo_b, hi_b, nnz_b, oe, op) = (
+                _doubling_device_batched(
+                    jnp.asarray(bs), jnp.asarray(bd), jnp.asarray(sup_b),
+                    jnp.int32(cap), S_b, E, P, rounds,
                 )
-    counts = np.zeros(S, dtype=np.int64)
-    for s, (d, _, _) in rows_by_src.items():
-        counts[s] = len(d)
+            )
+            oe_h = bool(np.asarray(oe).any())
+            op_h = bool(np.asarray(op).any())
+            if oe_h or op_h:
+                if E >= 1 << 30 or P >= 1 << 31:
+                    return None
+                if oe_h:
+                    E *= 2
+                    P = max(P, 2 * E)
+                else:
+                    P *= 2
+                continue
+            nnz_h = np.asarray(nnz_b)
+            src_h = np.asarray(src_b)
+            dst_h = np.asarray(dst_b)
+            lo_h = np.asarray(lo_b)
+            hi_h = np.asarray(hi_b)
+            for ci, (g, *_rest) in enumerate(comps):
+                n_c = int(nnz_h[ci])
+                if n_c:
+                    all_src.append(g[src_h[ci, :n_c]])
+                    all_dst.append(g[dst_h[ci, :n_c]])
+                    all_lo.append(lo_h[ci, :n_c].astype(np.int64))
+                    all_hi.append(hi_h[ci, :n_c].astype(np.int64))
+            break
+    if not all_src:
+        return (np.zeros(S + 1, dtype=np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+    srcs = np.concatenate(all_src)
+    dst_c = np.concatenate(all_dst)
+    lo_c = np.concatenate(all_lo)
+    hi_c = np.concatenate(all_hi)
+    # rows are (dst, lo)-sorted per source within each component and
+    # sources are disjoint across components: one stable argsort by
+    # source restores the global CSR order
+    o3 = np.argsort(srcs, kind="stable")
+    srcs, dst_c, lo_c, hi_c = srcs[o3], dst_c[o3], lo_c[o3], hi_c[o3]
+    counts = np.bincount(srcs, minlength=S)
     indptr = np.zeros(S + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
-    nnz = int(indptr[-1])
-    dst = np.empty(nnz, dtype=np.int64)
-    lo = np.empty(nnz, dtype=np.int64)
-    hi = np.empty(nnz, dtype=np.int64)
-    for s, (d, l, h) in rows_by_src.items():
-        a = indptr[s]
-        dst[a: a + len(d)] = d
-        lo[a: a + len(d)] = l
-        hi[a: a + len(d)] = h
-    return indptr, dst, lo, hi
+    return indptr, dst_c, lo_c, hi_c
