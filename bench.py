@@ -179,6 +179,9 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         "parse_seed_s": 0.0, "prepare_s": 0.0, "onoff_s": 0.0,
         "sched_bytes": 0, "fetch_bytes": 0, "chunks": 0,
     }
+    # per-chunk legs so steady-state chunks are separable from the
+    # warmup chunk (whose compiles poison every averaged leg)
+    chunk_legs: dict = {}
 
     def _prep_bytes(prep):
         # count the fields the ACTIVE wire format actually uploads —
@@ -277,6 +280,9 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
                 legs["parse_seed_s"] += t_p1 - t_p0
                 legs["prepare_s"] += t_p2 - t_p1
                 legs["sched_bytes"] += sched_b
+                chunk_legs.setdefault(ci, {}).update(
+                    parse=t_p1 - t_p0, prep=t_p2 - t_p1, up=sched_b
+                )
             nkeys = len(np.unique(index.sorted_keys))
             work_q.put((ci, seeds, index, nkeys))
 
@@ -309,11 +315,15 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
             t_w1 = time.monotonic()
             with rng_lock:
                 legs["onoff_s"] += t_w1 - t_w0
-                legs["fetch_bytes"] += (
+                fb = (
                     len(np.unique(index.sorted_keys)) * 2  # counts16
                     + (len(arr) + len(off)) * 3            # gpos24-ish
                 )
+                legs["fetch_bytes"] += fb
                 legs["chunks"] += 1
+                chunk_legs.setdefault(ci, {}).update(
+                    onoff=t_w1 - t_w0, down=fb, tdone=time.monotonic()
+                )
             done_q.put(
                 (ci, nkeys, index.size, len(arr), len(off))
             )
@@ -352,6 +362,15 @@ def bench_sustained(strings, k, n_chunks, reads_per_chunk, read_len=100):
         f"{n_loci} loci/chunk traversed)",
         file=sys.stderr,
     )
+    for ci in sorted(chunk_legs):
+        cl = chunk_legs[ci]
+        print(
+            f"# chunk {ci}: parse {cl.get('parse', 0)*1e3:.0f} "
+            f"prep {cl.get('prep', 0)*1e3:.0f} "
+            f"onoff {cl.get('onoff', 0)*1e3:.0f} ms; "
+            f"up {cl.get('up', 0)/1e6:.1f} down {cl.get('down', 0)/1e6:.1f} MB",
+            file=sys.stderr,
+        )
     nch = max(legs["chunks"], 1)
     print(
         f"# sustained legs (avg/chunk over all {nch}): "

@@ -166,9 +166,9 @@ def _pad_level(arr: np.ndarray, npad: int, fill) -> np.ndarray:
 DELTA_EXC_WIDTH = 64
 
 
-def _delta_saturate(d: np.ndarray):
+def _delta_saturate(d: np.ndarray, sat: int = 255):
     """Split non-negative int64 deltas into a uint8 array plus (idx,
-    val) corrections for entries > 255 (val = true - 255). The
+    val) corrections for entries > `sat` (val = true - sat). The
     non-negativity is the strictly-increasing-parents-per-segment
     invariant the whole delta wire depends on — a violation must fail
     loudly (a bare assert would vanish under python -O and turn a
@@ -178,9 +178,9 @@ def _delta_saturate(d: np.ndarray):
             "delta wire: parent deltas must be non-negative within "
             "each char segment (schedule invariant violated)"
         )
-    big = np.nonzero(d > 255)[0].astype(np.int64)
-    val = (d[big] - 255).astype(np.int64)
-    return np.minimum(d, 255).astype(np.uint8), big, val
+    big = np.nonzero(d > sat)[0].astype(np.int64)
+    val = (d[big] - sat).astype(np.int64)
+    return np.minimum(d, sat).astype(np.uint8), big, val
 
 
 def _pad_exc(idx: np.ndarray, val: np.ndarray, npad: int,
@@ -316,7 +316,7 @@ def _decode_counts16(words: np.ndarray, npad: int) -> np.ndarray:
     jax.jit,
     static_argnames=(
         "use_pallas", "interpret", "packed", "with_counts", "masked",
-        "delta_wire", "mask_derive", "fused",
+        "delta_wire", "mask_derive", "fused", "delta_bits",
     ),
 )
 def _trie_device(
@@ -344,9 +344,11 @@ def _trie_device(
     mask_derive: str = "sort",  # mask wire select: "sort" | "search"
     fused: bool | None = None,  # single-launch fused route (None: env
                                 # PSI_TRIE_FUSED at trace time)
+    delta_bits: int = 8,        # 4 = nibble-packed delta wire
 ):
     n = arrays.n
-    Npad = parents.shape[1] * (2 if masked else 1)
+    half = masked or (delta_wire and delta_bits == 4)
+    Npad = parents.shape[1] * (2 if half else 1)
     if ftab_tab is not None and row_delta is not None:
         # delta wire: the ASCENDING frontier-row set is reconstructed
         # by one cumsum (row[0] arrives as the idx-0 correction), then
@@ -380,7 +382,12 @@ def _trie_device(
             # No select/searchsorted — the whole derive is one cumsum,
             # one small scatter-add and three broadcast compares.
             dl, meta, ex = xs
-            d = dl.astype(jnp.int32)
+            if delta_bits == 4:
+                # two children per byte: low nibble = even slot
+                d32 = dl.astype(jnp.int32)
+                d = jnp.stack([d32 & 15, d32 >> 4], axis=-1).reshape(-1)
+            else:
+                d = dl.astype(jnp.int32)
             d = d.at[ex[0]].add(ex[1], mode="drop")
             cs = jnp.cumsum(d)
             t = jnp.arange(Npad, dtype=jnp.int32)
@@ -674,6 +681,12 @@ class PreparedTrie(NamedTuple):
     row_delta: jax.Array | None = None
     #: int32 [2, E2] row-delta corrections (incl. the absolute row[0])
     row_exc: jax.Array | None = None
+    #: 4 = nibble-packed deltas (uint8 [levels, Npad//2], two children
+    #: per byte, gaps saturate at 15 with dexc corrections; chosen
+    #: adaptively when every level's >15-gap count fits the scaled
+    #: exception width — halves the dominant schedule upload), 8 = the
+    #: byte form above
+    delta_bits: int = 8
 
 
 def prepare(
@@ -775,11 +788,10 @@ def prepare(
             hi0 = put(_pad_level(
                 ranges[:, 1].astype(np.int32), Npad, int(ranges[-1, 1])
             ))
-    if wire == "delta":
+    if wire in ("delta", "delta8"):
         levels = k - start
-        delta = np.zeros((levels, Npad), dtype=np.uint8)
         dmeta = np.zeros((levels, 8), dtype=np.int32)
-        excs = []
+        dvals = []
         for jj in range(levels):
             p_arr = sched.parents[start + jj].astype(np.int64)
             c_arr = sched.chars[start + jj]
@@ -792,24 +804,54 @@ def prepare(
             # segment-boundary (possibly negative) deltas are zeroed
             # and the device restarts each segment at first_parent
             d[ss[ss < Npad]] = 0
-            d8, idx, val = _delta_saturate(d)
-            delta[jj] = d8
-            excs.append((idx, val))
+            dvals.append(d)
             dmeta[jj, :4] = np.minimum(ss, Npad)
             dmeta[jj, 4:] = p_pad[np.minimum(ss, Npad - 1)]
-        if max(len(i) for i, _ in excs) > DELTA_EXC_WIDTH:
-            # a level's >255-gap count exceeds the fixed exception
-            # width (extremely sparse child density): the packed wire
-            # keeps one compiled shape instead of resizing dexc
-            return prepare(keys, k, ftab, npad=npad,
-                           to_device=to_device, pack=pack, wire="packed")
-        dexc = np.stack([_pad_exc(i, v, Npad) for i, v in excs])
+        # 4-bit form when every level's >15-gap count fits the scaled
+        # exception width (dense fills: ~1.4% of slots at the 2^19
+        # sustained shape — halves the dominant per-chunk upload);
+        # byte form otherwise (sparse fills where 4-bit exceptions
+        # would dwarf the nibble savings). Width scales with Npad so
+        # shards of one mesh plan agree by construction.
+        E4 = max(DELTA_EXC_WIDTH, Npad // 64)
+        bits = 4
+        if wire == "delta8" or os.environ.get("PSI_DELTA_BITS") == "8":
+            bits = 8
+        else:
+            for d in dvals:
+                if int((d > 15).sum()) > E4:
+                    bits = 8
+                    break
+        if bits == 4:
+            delta = np.zeros((levels, Npad // 2), dtype=np.uint8)
+            excs = []
+            for jj, d in enumerate(dvals):
+                d4, idx, val = _delta_saturate(d, sat=15)
+                delta[jj] = d4[0::2] | (d4[1::2] << np.uint8(4))
+                excs.append((idx, val))
+            dexc = np.stack([_pad_exc(i, v, Npad, width=E4)
+                             for i, v in excs])
+        else:
+            delta = np.zeros((levels, Npad), dtype=np.uint8)
+            excs = []
+            for jj, d in enumerate(dvals):
+                d8, idx, val = _delta_saturate(d)
+                delta[jj] = d8
+                excs.append((idx, val))
+            if max(len(i) for i, _ in excs) > DELTA_EXC_WIDTH:
+                # a level's >255-gap count exceeds the fixed exception
+                # width (extremely sparse child density): the packed
+                # wire keeps one compiled shape instead of resizing
+                return prepare(keys, k, ftab, npad=npad,
+                               to_device=to_device, pack=pack,
+                               wire="packed")
+            dexc = np.stack([_pad_exc(i, v, Npad) for i, v in excs])
         return PreparedTrie(
             parents=None, chars=None, poff=None, pbase=None, charpk=None,
             lo0=lo0, hi0=hi0,
             leaf_perm=sched.leaf_perm, n=N,
             delta=put(delta), dmeta=put(dmeta), dexc=put(dexc),
-            row_delta=row_delta, row_exc=row_exc,
+            row_delta=row_delta, row_exc=row_exc, delta_bits=bits,
         )
     if wire == "mask":
         levels = k - start
@@ -936,6 +978,7 @@ def trie_search(
         row_exc=prepared.row_exc,
         mask_derive=_mask_derive(),
         fused=fused,
+        delta_bits=getattr(prepared, "delta_bits", 8),
     )
     lo = np.asarray(lo)[prepared.leaf_perm]
     hi = np.asarray(hi)[prepared.leaf_perm]

@@ -54,6 +54,139 @@ def graph_to_device(graph: Graph) -> GraphArrays:
     )
 
 
+class WalkTree(NamedTuple):
+    """Chunk-independent unpruned state tree from the starting loci.
+
+    The device traversal's only read-dependent inputs are the per-depth
+    (lo, hi) range refinements over the chunk's sorted seed keys; the
+    graph walk itself (forks, labels, 'N' kills) is fixed per index. A
+    WalkTree enumerates that walk ONCE (same frontier order as
+    `traverse_device`: children consecutive per parent in out-edge
+    order, structural compaction preserving order), so each chunk's
+    off-path traversal reduces to vectorized `np.searchsorted` prefix
+    probes — no seeds upload (the per-chunk planes payload), no device
+    dispatch, and bit-identical survivors, order and TraverserStats
+    (ref semantics: traverser_bfs.hpp:72-164 + traverser_base.hpp:103-268).
+    """
+
+    k: int
+    n_init: int
+    ccount0: np.ndarray        # int64 [n_init] child count of each locus state
+    parent: tuple              # per depth: int32 [m_t] -> prev structural slot
+    okn: tuple                 # per depth: bool [m_t] ('N'-free children)
+    klo: tuple                 # per depth: uint64 [m_t] prefix range start
+    ccount: tuple              # per depth: int64 [s_t] over structural survivors
+    locus: np.ndarray          # int32 [s_{k-1}] locus of each complete walk
+    n_nodes: int               # total tree nodes (diagnostics)
+
+
+def enumerate_walks(
+    graph: Graph,
+    start_nodes: np.ndarray,
+    start_offs: np.ndarray,
+    k: int,
+    node_cap: int = 1 << 23,
+) -> WalkTree | None:
+    """Host enumeration of the unpruned k-step state tree (see
+    WalkTree). Returns None when the tree exceeds `node_cap` nodes
+    (pathologically branchy regions: callers fall back to the pruned
+    per-chunk device traversal)."""
+    from psi_tpu.ops.kmers import ACGT_CODE
+
+    codes = ACGT_CODE[graph.labels].astype(np.int64)
+    codes[codes < 0] = 4
+    loff = graph.label_offsets.astype(np.int64)
+    iptr = graph.out_indptr.astype(np.int64)
+    oidx = graph.out_indices.astype(np.int64)
+
+    node = start_nodes.astype(np.int64)
+    off = start_offs.astype(np.int64)
+    n_init = len(node)
+    locus = np.arange(n_init, dtype=np.int32)
+    key = np.zeros(n_init, dtype=np.uint64)
+
+    parents, okns, klos, ccounts = [], [], [], []
+    ccount0 = None
+    total = 0
+    for t in range(k):
+        nlen = loff[node] - loff[node - 1]
+        at_end = off >= nlen
+        outdeg = iptr[node] - iptr[node - 1]
+        counts = np.where(at_end, outdeg, 1)
+        if t == 0:
+            ccount0 = counts.astype(np.int64)
+        else:
+            ccounts.append(counts.astype(np.int64))
+        base = np.cumsum(counts) - counts
+        m = int(counts.sum())
+        total += m
+        if total > node_cap:
+            return None
+        parent = np.repeat(
+            np.arange(len(node), dtype=np.int64), counts
+        )
+        j = np.arange(m, dtype=np.int64) - base[parent]
+        p_end = at_end[parent]
+        nb = oidx[
+            np.clip(iptr[node[parent] - 1] + j, 0, max(len(oidx) - 1, 0))
+        ] if len(oidx) else np.zeros(m, dtype=np.int64)
+        cnode = np.where(p_end, nb, node[parent])
+        coff = np.where(p_end, 0, off[parent])
+        c = codes[loff[np.maximum(cnode, 1) - 1] + coff]
+        ok = c < 4
+        ckey = (key[parent] << np.uint64(2)) | np.where(
+            ok, c, 0
+        ).astype(np.uint64)
+        parents.append(parent.astype(np.int32))
+        okns.append(ok)
+        klos.append(ckey << np.uint64(2 * (k - t - 1)))
+        # structural survivors advance
+        node = cnode[ok]
+        off = coff[ok] + 1
+        locus = locus[parent[ok]]
+        key = ckey[ok]
+    return WalkTree(
+        k=k, n_init=n_init, ccount0=ccount0,
+        parent=tuple(parents), okn=tuple(okns), klo=tuple(klos),
+        ccount=tuple(ccounts), locus=locus, n_nodes=total,
+    )
+
+
+def walks_match(tree: WalkTree, sorted_keys: np.ndarray):
+    """Per-chunk evaluation of a WalkTree against the chunk's sorted
+    seed keys: returns (locus_idx, lo, hi, gd, ended, ended_len) ==
+    the surviving states and TraverserStats the pruned device
+    traversal would produce for this chunk (uncapped)."""
+    k = tree.k
+    alive = np.ones(tree.n_init, dtype=bool)
+    gd = ended = ended_len = 0
+    lo_t = hi_t = None
+    alive_child = np.zeros(0, dtype=bool)
+    for t in range(k):
+        ccount_prev = tree.ccount0 if t == 0 else tree.ccount[t - 1]
+        attempted = int(ccount_prev[alive].sum())
+        klo = tree.klo[t]
+        width = np.uint64(1) << np.uint64(2 * (k - t - 1))
+        lo_t = np.searchsorted(sorted_keys, klo, side="left")
+        hi_t = np.searchsorted(sorted_keys, klo + width, side="left")
+        alive_child = (
+            tree.okn[t] & alive[tree.parent[t]] & (lo_t < hi_t)
+        )
+        survivors = int(alive_child.sum())
+        gd += attempted
+        ended += attempted - survivors
+        ended_len += (attempted - survivors) * (t + 1)
+        alive = alive_child[tree.okn[t]]
+    emit = alive
+    sel = tree.okn[k - 1]
+    return (
+        tree.locus[emit],
+        lo_t[sel][emit].astype(np.int64),
+        hi_t[sel][emit].astype(np.int64),
+        gd, ended, ended_len,
+    )
+
+
 class SeedsArrays(NamedTuple):
     """Device-resident reads-side index (see SeedsIndex)."""
 

@@ -116,6 +116,7 @@ class ShardedPreparedTrie(NamedTuple):
     dexc: jax.Array | None = None       # int32 [D, L, 2, E]
     row_delta: jax.Array | None = None  # uint8 [D, Npad]
     row_exc: jax.Array | None = None    # int32 [D, 2, E2]
+    delta_bits: int = 8                 # 4 = nibble-packed delta wire
 
 
 def prepare_trie_sharded(
@@ -181,6 +182,13 @@ def prepare_trie_sharded(
         # back to packed: rebuild everything packed for a uniform stack
         wire = "packed"
         plans = build_all(wire)
+    if wire == "delta" and len(
+        {getattr(p, "delta_bits", 8) for p in plans}
+    ) > 1:
+        # shards disagree on the 4-bit/8-bit adaptive choice: force the
+        # byte form everywhere for a uniform stack
+        wire = "delta8"
+        plans = build_all(wire)
     if any(p.poff is None for p in plans) and any(
         p.poff is not None for p in plans
     ):
@@ -230,6 +238,7 @@ def prepare_trie_sharded(
             stack("row_exc")
             if delta and plans[0].row_exc is not None else None
         ),
+        delta_bits=getattr(plans[0], "delta_bits", 8) if delta else 8,
     )
 
 
@@ -270,6 +279,7 @@ def _sharded_trie_device(
                 row_delta=a4[0] if has_rows else None,
                 row_exc=a5[0] if has_rows else None,
                 with_counts=with_counts,
+                delta_bits=getattr(prepared, "delta_bits", 8),
             )
     elif packed:
         args = [prepared.poff, prepared.pbase, prepared.charpk,

@@ -65,6 +65,7 @@ class SeedFinder:
         self._stream_arrays = None
         self._ftab_np = None
         self._ftab_d = None  # device-resident ftab (mask wire format)
+        self._trav_tree = None  # (fingerprint, WalkTree | False)
         import threading
 
         self._prep_lock = threading.Lock()
@@ -901,10 +902,14 @@ class SeedFinder:
         Two round trips per chunk total (vs counts + gpos + traversal
         at ~25 ms each over the tunnel); the saturation/overflow
         fallbacks re-fetch at full width (rare)."""
+        import time as _time
+
         import jax.numpy as jnp
 
         from psi_tpu.ops import fm_trie
 
+        _dbg = os.environ.get("PSI_CHAIN_DEBUG") not in (None, "", "0")
+        _t0 = _time.monotonic()
         Npad = int(counts_d.shape[0])
         n_leaves = len(uniq)
         maps = self._get_map_arrays()
@@ -921,9 +926,11 @@ class SeedFinder:
                 jnp.asarray(thr32, dtype=jnp.int32), k, cap,
             )
             b24_d = fm_trie._pack24(gpos_d) if use24 else None
+            _t1 = _time.monotonic()
             packed = np.asarray(
                 fm_trie._chain_pack_small(counts_d, total_d, trav_d)
             )
+            _t2 = _time.monotonic()
             nw = Npad // 2
             over = int(packed[nw])
             total = int(packed[nw + 1])
@@ -952,15 +959,31 @@ class SeedFinder:
             if total_u == 0:
                 z = np.zeros(0, dtype=np.int64)
                 return np.nonzero(emit)[0], z, z, z
+            _t3 = _time.monotonic()
+            # fetch at a 64K-bucketed width: a `[:total_u]` slice has a
+            # new shape every chunk, and each new shape is a fresh
+            # compile through the remote relay (~0.75 s/chunk measured);
+            # buckets repeat across chunks so the slice program compiles
+            # once (the extra <=64K columns are ~0.2 MB on the wire)
+            bs = min(int(gpos_d.shape[0]),
+                     ((total_u + 65535) // 65536) * 65536)
             if use24:
                 gpos_stream = fm_trie._unpack24(
-                    np.asarray(b24_d[:, :total_u])
+                    np.asarray(b24_d[:, :bs])[:, :total_u]
                 )
             else:
                 gpos_stream = np.asarray(
-                    gpos_d[:total_u]
-                ).astype(np.int64)
+                    gpos_d[:bs]
+                )[:total_u].astype(np.int64)
+            _t4 = _time.monotonic()
             occ_start_u = (np.cumsum(w_pat) - w_pat)[leaf_perm]
+            if _dbg:
+                print(
+                    f"# chain: pre {_t1-_t0:.3f} fetch1 {_t2-_t1:.3f} "
+                    f"mid {_t3-_t2:.3f} fetch2(gpos {total_u}) "
+                    f"{_t4-_t3:.3f}",
+                    flush=True,
+                )
             return self._chain_join(
                 counts, emit, inv, occ_start_u, gpos_stream
             )
@@ -1040,6 +1063,7 @@ class SeedFinder:
             row_exc=prepared.row_exc,
             mask_derive=fm_trie._mask_derive(),
             with_counts=True,
+            delta_bits=getattr(prepared, "delta_bits", 8),
         )
         leaf_perm = prepared.leaf_perm
         thr32 = int(min(thr, np.iinfo(np.int32).max))
@@ -1615,11 +1639,22 @@ class SeedFinder:
 
         if not self.starting_loci or index.size == 0:
             return None
+        mesh = self._get_mesh()
+        if (
+            mesh is None
+            and not self.seed_mismatches
+            and cap is None
+        ):
+            tree = self._get_trav_tree()
+            if tree is not None:
+                # chunk-independent walk tree: the whole traversal is
+                # host searchsorted prefix probes — no per-chunk seeds
+                # upload (the planes payload), no device round trip
+                return ("tree", tree)
         if g is None:
             g = self._get_graph_arrays()
         if sa is None:
             sa = trav.seeds_to_device(index)
-        mesh = self._get_mesh()
         if mesh is not None:
             from psi_tpu.parallel.mesh import sharded_traverse_dispatch
 
@@ -1654,6 +1689,20 @@ class SeedFinder:
 
         if pending is None:
             return None
+        if pending[0] == "tree":
+            tree = pending[1]
+            locus_idx, lo, hi, gd, ended, ended_len = trav.walks_match(
+                tree, index.sorted_keys
+            )
+            n_used = len(locus_idx)
+            self.stats.get_this_thread_stats().add_traversal(
+                gd, ended + n_used,
+                ended_len + n_used * self.seed_len,
+            )
+            return trav.traverse_columnar_from_states(
+                index, self.starting_loci, locus_idx, lo, hi,
+                self.seed_len,
+            )
         if pending[0] == "mesh":
             return self._traverse_collect_sharded(index, pending)
         _, packed_d, cap, g, sa = pending
@@ -1759,6 +1808,43 @@ class SeedFinder:
             return False
         return os.environ.get("PSI_MH_EMIT", "shard") != "full"
 
+    @staticmethod
+    def _trav_tree_enabled() -> bool:
+        """Walk-tree traversal cache (see ops/traverse.WalkTree): on by
+        default for the exact-matching single-device bulk route — the
+        per-chunk traversal becomes host searchsorted probes instead of
+        a seeds upload + device dispatch (measured ~370 -> ~15 ms/chunk
+        on the tunneled chip). PSI_TRAV_CACHE=0 restores the per-chunk
+        device traversal."""
+        return os.environ.get("PSI_TRAV_CACHE", "1") not in ("", "0")
+
+    def _get_trav_tree(self):
+        """Lazy chunk-independent walk tree, fingerprinted on the loci
+        set (node/offset bytes) so staged add_uncovered_loci calls or
+        loci reloads invalidate it."""
+        if not self._trav_tree_enabled():
+            return None
+        from psi_tpu.ops import traverse as trav
+
+        sn, so = self._get_loci_np()
+        fp = (len(sn), hash((sn.tobytes(), so.tobytes())))
+        cached = self._trav_tree
+        if cached is not None and cached[0] == fp:
+            return cached[1] if cached[1] is not False else None
+        with self._prep_lock:
+            cached = self._trav_tree
+            if cached is not None and cached[0] == fp:
+                return cached[1] if cached[1] is not False else None
+            with self.stats.timeit_ts("seeds-off-path"):
+                tree = trav.enumerate_walks(
+                    self.graph, sn, so, self.seed_len,
+                    node_cap=int(
+                        os.environ.get("PSI_TRAV_CACHE_CAP", str(1 << 23))
+                    ),
+                )
+            self._trav_tree = (fp, tree if tree is not None else False)
+        return tree
+
     def _get_loci_np(self):
         """Host-side starting-loci arrays (cached per loci set)."""
         n = len(self.starting_loci)
@@ -1824,6 +1910,10 @@ class SeedFinder:
         traversal's packed result additionally rides the on-path
         chain's ONE packed fetch (eager flow). `split=True` returns
         (on_path, off_path) arrays instead of the concatenation."""
+        import time as _time
+
+        _dbg = os.environ.get("PSI_CHAIN_DEBUG") not in (None, "", "0")
+        _ts = _time.monotonic()
         pending = None
         if self.starting_loci and index.size:
             with self.stats.timeit_ts("seeds-off-path"):
@@ -1832,7 +1922,9 @@ class SeedFinder:
                 # hand the packed device handle to the on-path chain's
                 # eager fetch (fused round trip)
                 index._trav_pack_d = pending[1]
+        _t_disp = _time.monotonic()
         parts = [self.seeds_on_paths_arrays(seeds, index)]
+        _t_on = _time.monotonic()
         if pending is not None:
             with self.stats.timeit_ts("seeds-off-path"):
                 tstats = self.stats.get_this_thread_stats()
@@ -1843,6 +1935,13 @@ class SeedFinder:
                 tstats.set_locus_idx(len(self.starting_loci))
         else:
             parts.append(self.seeds_off_paths_arrays(seeds, index))
+        if _dbg:
+            print(
+                f"# all_arrays: trav-dispatch {_t_disp-_ts:.3f} "
+                f"onpath {_t_on-_t_disp:.3f} "
+                f"offpath-collect {_time.monotonic()-_t_on:.3f}",
+                flush=True,
+            )
         index._trav_pack_d = None
         index._trav_pack_np = None
         self.stats.get_this_thread_stats().inc_chunks_done()

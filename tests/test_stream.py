@@ -498,3 +498,66 @@ def test_trie_fused_remainder_loop(monkeypatch):
     finally:
         monkeypatch.delenv("PSI_FUSED_PUNROLL")
         importlib.reload(fm_fused)
+
+
+def test_delta_wire_nibble_form():
+    """4-bit delta wire: dense key fills pick the nibble form (half the
+    schedule upload), sparse fills keep the byte form; both match the
+    per-query scan exactly (incl. the fused route's device derive)."""
+    from psi_tpu.ops import fm_trie
+
+    rng = np.random.RandomState(23)
+    s = "".join(rng.choice(list("ACGT"), size=60_000))
+    fm = FMIndex.build_from_strings([s[::-1]])
+    arr = fm_stream.build_stream_arrays(fm)
+    dense = fm_ops.to_device(fm, dense_occ=True)
+    k = 12
+
+    # dense fill: ~6K distinct keys in the 8192 pad -> small gaps
+    keys_dense = np.unique(
+        rng.randint(0, 4 ** k, size=8000).astype(np.uint64)
+    )
+    prep = fm_trie.prepare(keys_dense, k, wire="delta")
+    assert prep.delta_bits == 4
+    assert prep.delta.shape[-1] * 2 == prep.dexc.shape[-1] * 64 or \
+        prep.delta.shape[-1] * 2 >= len(keys_dense)  # nibble-packed
+    codes = fm_ops.keys_to_codes(keys_dense, k)
+    l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+    lo2, hi2 = fm_trie.trie_search(
+        arr, keys_dense, k, prepared=prep
+    )
+    np.testing.assert_array_equal(np.asarray(h1) - np.asarray(l1),
+                                  hi2 - lo2)
+    nz = hi2 > lo2
+    assert nz.any()
+    np.testing.assert_array_equal(np.asarray(l1)[nz], lo2[nz])
+
+    # sparse fill: gaps are frontier-SLOT gaps (the frontier is
+    # compacted), so even a 300-key / 8192-pad plan stays nibble and
+    # must stay exact
+    keys_sparse = np.unique(
+        rng.randint(0, 4 ** k, size=300).astype(np.uint64)
+    )
+    prep_s = fm_trie.prepare(keys_sparse, k, npad=8192, wire="delta")
+    codes_s = fm_ops.keys_to_codes(keys_sparse, k)
+    l1s, h1s = fm_ops.backward_search_codes(dense, jnp.asarray(codes_s))
+    lo_s, hi_s = fm_trie.trie_search(
+        arr, keys_sparse, k, prepared=prep_s
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h1s) - np.asarray(l1s), hi_s - lo_s
+    )
+    # forced byte form stays available for mesh-uniform stacks
+    prep_8 = fm_trie.prepare(keys_dense, k, wire="delta8")
+    assert prep_8.delta_bits == 8
+    lo8, hi8 = fm_trie.trie_search(
+        arr, keys_dense, k, prepared=prep_8
+    )
+    np.testing.assert_array_equal(hi2 - lo2, hi8 - lo8)
+    codes = fm_ops.keys_to_codes(keys_sparse, k)
+    l1, h1 = fm_ops.backward_search_codes(dense, jnp.asarray(codes))
+    lo3, hi3 = fm_trie.trie_search(
+        arr, keys_sparse, k, prepared=prep_s
+    )
+    np.testing.assert_array_equal(np.asarray(h1) - np.asarray(l1),
+                                  hi3 - lo3)

@@ -156,3 +156,61 @@ def test_device_occ_matches_host_consulted_rows():
         np.testing.assert_array_equal(
             dev[:, : b_max + 1], host[:, : b_max + 1]
         )
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_walk_tree_matches_device(seed):
+    """WalkTree (chunk-independent enumeration + per-chunk searchsorted,
+    the bulk-route default) == the pruned device traversal: identical
+    survivors (locus, lo, hi) IN ORDER and identical TraverserStats
+    (godowns / ended / ended-length) on random bubble graphs."""
+    import jax.numpy as jnp
+
+    from psi_tpu.graphiter import HaplotyperRandomIter
+    from psi_tpu.pathutil import Path as PPath, sequence
+    from psi_tpu.simulate import make_pangenome_graph
+
+    rng = np.random.RandomState(seed)
+    graph = make_pangenome_graph(1500, 0.05, indel_frac=0.4, seed=seed)
+    itr = HaplotyperRandomIter(graph, seed=seed + 1)
+    hap = PPath(graph)
+    while not itr.at_end():
+        hap.push_back(itr.value)
+        itr.next()
+    hs = sequence(hap)
+    k = int(rng.randint(6, 16))
+    reads = Records(
+        [f"r{i}" for i in range(30)],
+        [hs[p: p + k] for p in rng.randint(0, len(hs) - k, 30)],
+    )
+    seeds = seeding(reads, k, k)
+    index = SeedsIndex(seeds)
+    loci = [
+        Position(n, o)
+        for n in range(1, graph.node_count + 1)
+        for o in range(graph.node_length(n))
+    ]
+    sn = np.array([p.node_id() for p in loci], dtype=np.int32)
+    so = np.array([p.offset() for p in loci], dtype=np.int32)
+
+    tree = trav.enumerate_walks(graph, sn, so, k)
+    assert tree is not None
+    li_t, lo_t, hi_t, gd_t, ended_t, el_t = trav.walks_match(
+        tree, index.sorted_keys
+    )
+
+    g = trav.graph_to_device(graph)
+    sa = trav.seeds_to_device(index)
+    cap = 1 << 13
+    li, lo, hi, nu, ov, ts = trav.traverse_device(
+        g, sa,
+        jnp.asarray(np.resize(sn, cap)), jnp.asarray(np.resize(so, cap)),
+        jnp.asarray(len(loci), dtype=jnp.int32), k, cap,
+    )
+    assert not bool(ov)
+    nu = int(nu)
+    np.testing.assert_array_equal(li_t, np.asarray(li)[:nu])
+    np.testing.assert_array_equal(lo_t, np.asarray(lo)[:nu])
+    np.testing.assert_array_equal(hi_t, np.asarray(hi)[:nu])
+    gd_d, ended_d, el_d = (int(v) for v in np.asarray(ts))
+    assert (gd_t, ended_t, el_t) == (gd_d, ended_d, el_d)
