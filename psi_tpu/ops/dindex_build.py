@@ -301,6 +301,7 @@ def build_super_device_per_component(
     s_indices: np.ndarray,
     dmax: int,
     e_hint: int = 0,
+    stats_only: bool = False,
 ):
     """Per-component device builds (the reference's PerComponent mode,
     ref: include/psi/seed_finder.hpp:1178-1235): each weakly-connected
@@ -344,11 +345,26 @@ def build_super_device_per_component(
         )
     # one BATCHED dispatch per size bucket: all its components run in a
     # single vmapped program (one tunnel round trip, lanes exit their
-    # while_loop fixpoints independently)
+    # while_loop fixpoints independently). PSI_DINDEX_CBATCH caps the
+    # vmap width per dispatch — compile-helper memory scales with
+    # C x E, and chr-scale buckets (16 x 2^24 lanes) have OOM-killed
+    # the remote compile; smaller groups trade round trips for a
+    # bounded compiler working set.
+    cbatch = int(os.environ.get("PSI_DINDEX_CBATCH", "0"))
+    if cbatch > 0:
+        split: dict = {}
+        for S_b, comps in buckets.items():
+            parts = [comps[i: i + cbatch]
+                     for i in range(0, len(comps), cbatch)]
+            for pi, part in enumerate(parts):
+                split[(S_b, pi)] = part
+        buckets = split
     all_src, all_dst, all_lo, all_hi = [], [], [], []
+    nnz_total = 0
     cap = dmax - 1
     rounds = max(int(cap + 1).bit_length() + 1, 15)
-    for S_b, comps in buckets.items():
+    for bkey, comps in buckets.items():
+        S_b = bkey[0] if isinstance(bkey, tuple) else bkey
         nedge_max = max(len(c[1]) for c in comps)
         E = max(64, 1 << (max(nedge_max * 4 - 1, 1)).bit_length(), e_hint)
         P = 2 * E
@@ -379,6 +395,13 @@ def build_super_device_per_component(
                     P *= 2
                 continue
             nnz_h = np.asarray(nnz_b)
+            if stats_only:
+                # device-time measurement mode: the tiny nnz fetch
+                # forces the build's execution; the (gigabytes at
+                # chr scale) row fetch is skipped so device compute
+                # and link time are separable on tunneled chips
+                nnz_total += int(nnz_h.sum())
+                break
             src_h = np.asarray(src_b)
             dst_h = np.asarray(dst_b)
             lo_h = np.asarray(lo_b)
@@ -391,6 +414,8 @@ def build_super_device_per_component(
                     all_lo.append(lo_h[ci, :n_c].astype(np.int64))
                     all_hi.append(hi_h[ci, :n_c].astype(np.int64))
             break
+    if stats_only:
+        return nnz_total
     if not all_src:
         return (np.zeros(S + 1, dtype=np.int64), np.zeros(0, np.int64),
                 np.zeros(0, np.int64), np.zeros(0, np.int64))

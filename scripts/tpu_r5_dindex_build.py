@@ -78,35 +78,48 @@ def main():
           f"{res['intervals']} intervals", flush=True)
 
     e_hint = 1 << max(
-        int(res["intervals"] / ncomp * 2.5 - 1).bit_length(), 10
+        int(res["intervals"] / ncomp * 1.5 - 1).bit_length(), 10
     )
     res["e_hint"] = e_hint
+    os.environ.setdefault("PSI_DINDEX_CBATCH", "4")
+    res["cbatch"] = os.environ["PSI_DINDEX_CBATCH"]
+
     t0 = time.time()
-    dev = dindex_build.build_super_device_per_component(
+    n_dev = dindex_build.build_super_device_per_component(
         sup_len, s_indptr, s_indices, dmax, e_hint=e_hint,
+        stats_only=True,
     )
     res["device_build_cold_s"] = round(time.time() - t0, 1)
-    ok = dev is not None and all(
-        np.array_equal(a, b) for a, b in zip(nat, dev)
+    print(f"device build cold (incl compile, nnz-only fetch): "
+          f"{res['device_build_cold_s']}s nnz={n_dev}", flush=True)
+
+    # warm, nnz-only fetch: pure device compute + dispatch (the row
+    # fetch at this interval count is gigabytes over the ~35 MB/s
+    # tunnel and is timed separately below)
+    t0 = time.time()
+    n_dev2 = dindex_build.build_super_device_per_component(
+        sup_len, s_indptr, s_indices, dmax, e_hint=e_hint,
+        stats_only=True,
     )
-    res["parity"] = bool(ok)
-    print(f"device build cold (incl compile): "
-          f"{res['device_build_cold_s']}s parity={ok}", flush=True)
+    res["device_compute_s"] = round(time.time() - t0, 1)
+    res["nnz_device"] = int(n_dev2)
+    print(f"device build warm (nnz-only): {res['device_compute_s']}s",
+          flush=True)
 
     t0 = time.time()
     dev2 = dindex_build.build_super_device_per_component(
         sup_len, s_indptr, s_indices, dmax, e_hint=e_hint,
     )
-    res["device_build_warm_s"] = round(time.time() - t0, 1)
-    res["parity_warm"] = bool(dev2 is not None and all(
+    res["device_build_full_s"] = round(time.time() - t0, 1)
+    res["parity"] = bool(dev2 is not None and all(
         np.array_equal(a, b) for a, b in zip(nat, dev2)
     ))
-    # the warm number includes the result fetch over the link; at this
-    # interval count that is gigabytes on a tunneled chip — attribute it
     nb = sum(a.nbytes for a in dev2) if dev2 is not None else 0
     res["fetch_bytes"] = int(nb)
-    print(f"device build warm: {res['device_build_warm_s']}s "
-          f"(fetch {nb/1e6:.0f} MB int64 host-side)", flush=True)
+    print(f"device build warm + full row fetch: "
+          f"{res['device_build_full_s']}s "
+          f"(fetch {nb/1e6:.0f} MB int64 host-side) "
+          f"parity={res['parity']}", flush=True)
 
     with open(out_path, "w") as fh:
         json.dump(res, fh, indent=1)
