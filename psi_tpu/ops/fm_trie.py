@@ -304,6 +304,21 @@ def _chain_pack_small(counts, total, trav=None):
     return head
 
 
+@functools.partial(jax.jit, static_argnames=("k", "cap", "use24"))
+def _chain_tail(sa, str_starts, lengths, seq_off, lo, hi, counts,
+                n_leaves, thr, k, cap, use24, trav=None):
+    """Expansion + locate + 24-bit pack + small-head pack in ONE jit:
+    the eager chain formerly dispatched these as three programs, and
+    each dispatch is a ~16 ms round trip on a tunneled chip. Returns
+    (packed_head, gpos_stream) — two device handles, fetched by the
+    caller in its two round trips."""
+    gpos, total = _expand_locate_device(
+        sa, str_starts, lengths, seq_off, lo, hi, n_leaves, thr, k, cap
+    )
+    stream = _pack24(gpos) if use24 else gpos
+    return _chain_pack_small(counts, total, trav), stream
+
+
 def _decode_counts16(words: np.ndarray, npad: int) -> np.ndarray:
     w = words.view(np.uint32)
     out = np.empty(npad, dtype=np.int64)

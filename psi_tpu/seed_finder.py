@@ -920,16 +920,15 @@ class SeedFinder:
         if cap < 16:
             cap = max(1 << 14, 2 * Npad)
         while True:
-            gpos_d, total_d = fm_trie._expand_locate_device(
+            packed_d, stream_d = fm_trie._chain_tail(
                 fmsa, maps.str_starts, maps.lengths, maps.seq_off,
-                lo_d, hi_d, jnp.asarray(n_leaves, dtype=jnp.int32),
-                jnp.asarray(thr32, dtype=jnp.int32), k, cap,
+                lo_d, hi_d, counts_d,
+                jnp.asarray(n_leaves, dtype=jnp.int32),
+                jnp.asarray(thr32, dtype=jnp.int32), k, cap, use24,
+                trav_d,
             )
-            b24_d = fm_trie._pack24(gpos_d) if use24 else None
             _t1 = _time.monotonic()
-            packed = np.asarray(
-                fm_trie._chain_pack_small(counts_d, total_d, trav_d)
-            )
+            packed = np.asarray(packed_d)
             _t2 = _time.monotonic()
             nw = Npad // 2
             over = int(packed[nw])
@@ -965,15 +964,15 @@ class SeedFinder:
             # compile through the remote relay (~0.75 s/chunk measured);
             # buckets repeat across chunks so the slice program compiles
             # once (the extra <=64K columns are ~0.2 MB on the wire)
-            bs = min(int(gpos_d.shape[0]),
+            bs = min(int(stream_d.shape[-1]),
                      ((total_u + 65535) // 65536) * 65536)
             if use24:
                 gpos_stream = fm_trie._unpack24(
-                    np.asarray(b24_d[:, :bs])[:, :total_u]
+                    np.asarray(stream_d[:, :bs])[:, :total_u]
                 )
             else:
                 gpos_stream = np.asarray(
-                    gpos_d[:bs]
+                    stream_d[:bs]
                 )[:total_u].astype(np.int64)
             _t4 = _time.monotonic()
             occ_start_u = (np.cumsum(w_pat) - w_pat)[leaf_perm]
