@@ -377,12 +377,34 @@ def build_super_device_per_component(
                 bs[ci, : len(es)] = es
                 bd[ci, : len(ed)] = ed
                 sup_b[ci] = gs
-            (src_b, dst_b, lo_b, hi_b, nnz_b, oe, op) = (
-                _doubling_device_batched(
-                    jnp.asarray(bs), jnp.asarray(bd), jnp.asarray(sup_b),
-                    jnp.int32(cap), S_b, E, P, rounds,
+            # vmapped one-dispatch form by default; PSI_DINDEX_VMAP=0
+            # runs the components of the group as C sequential
+            # dispatches of the unbatched program — the vmapped
+            # while_loop+sort program has OOM-killed the remote
+            # compile helper at chr scale where the plain program
+            # compiles fine (round-5 finding), and C dispatches of a
+            # once-compiled program cost only round trips
+            if os.environ.get("PSI_DINDEX_VMAP", "1") in ("", "0"):
+                outs = [
+                    _doubling_device(
+                        jnp.asarray(bs[ci]), jnp.asarray(bd[ci]),
+                        jnp.asarray(sup_b[ci]), jnp.int32(cap),
+                        S_b, E, P, rounds,
+                    )
+                    for ci in range(C)
+                ]
+                (src_b, dst_b, lo_b, hi_b, nnz_b, oe, op) = (
+                    jnp.stack([o[i] for o in outs])
+                    for i in range(7)
                 )
-            )
+            else:
+                (src_b, dst_b, lo_b, hi_b, nnz_b, oe, op) = (
+                    _doubling_device_batched(
+                        jnp.asarray(bs), jnp.asarray(bd),
+                        jnp.asarray(sup_b),
+                        jnp.int32(cap), S_b, E, P, rounds,
+                    )
+                )
             oe_h = bool(np.asarray(oe).any())
             op_h = bool(np.asarray(op).any())
             if oe_h or op_h:

@@ -77,9 +77,9 @@ def main():
     print(f"host native build: {res['host_build_s']}s, "
           f"{res['intervals']} intervals", flush=True)
 
-    e_hint = 1 << max(
+    e_hint = int(os.environ.get("PSI_EHINT", "0")) or (1 << max(
         int(res["intervals"] / ncomp * 1.5 - 1).bit_length(), 10
-    )
+    ))
     res["e_hint"] = e_hint
     os.environ.setdefault("PSI_DINDEX_CBATCH", "4")
     res["cbatch"] = os.environ["PSI_DINDEX_CBATCH"]
